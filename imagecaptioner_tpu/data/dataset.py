@@ -1,0 +1,66 @@
+"""Caption dataset: CSV of (image, caption) rows + an image directory.
+
+Reproduces FlickrDataset semantics (data_loader.py:49-87): pandas CSV with
+columns ``image,caption``, vocab built over *all* captions at construction,
+``Images/<name>`` file layout, black placeholder on missing files, and
+``<START> + tokens + <END>`` caption framing.
+
+Host work is intentionally minimal (decode + resize to a fixed shape, uint8);
+normalization/augmentation fuse into the jitted step (transforms.py).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Optional, Tuple
+
+import numpy as np
+import pandas as pd
+from PIL import Image
+
+from imagecaptioner_tpu.data.vocabulary import Vocabulary
+
+
+class CaptionDataset:
+    def __init__(
+        self,
+        root_dir: str,
+        captions_file: str,
+        *,
+        freq_threshold: int = 5,
+        image_size: int = 224,
+        vocab: Optional[Vocabulary] = None,
+    ):
+        self.root_dir = root_dir
+        self.image_size = image_size
+        self.df = pd.read_csv(captions_file)
+        if len(self.df) == 0:
+            raise ValueError(
+                "The DataFrame is empty. Please check the captions CSV.")
+        self.imgs = self.df["image"].tolist()
+        self.captions = self.df["caption"].tolist()
+        if vocab is None:
+            vocab = Vocabulary(freq_threshold)
+            vocab.build_vocabulary(self.captions)
+        self.vocab = vocab
+
+    def __len__(self) -> int:
+        return len(self.df)
+
+    def load_image(self, index: int) -> np.ndarray:
+        """uint8 (H, W, 3) at ``image_size`` — black placeholder if missing
+        (data_loader.py:73-78)."""
+        img_path = os.path.join(self.root_dir, "Images", str(self.imgs[index]))
+        try:
+            img = Image.open(img_path).convert("RGB")
+        except (FileNotFoundError, OSError):
+            img = Image.new("RGB", (self.image_size, self.image_size), color="black")
+        if img.size != (self.image_size, self.image_size):
+            img = img.resize((self.image_size, self.image_size), Image.BILINEAR)
+        return np.asarray(img, dtype=np.uint8)
+
+    def encode_caption(self, index: int) -> List[int]:
+        return self.vocab.encode_caption(self.captions[index])
+
+    def __getitem__(self, index: int) -> Tuple[np.ndarray, List[int]]:
+        return self.load_image(index), self.encode_caption(index)

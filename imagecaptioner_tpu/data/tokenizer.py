@@ -1,0 +1,80 @@
+"""Rule-based English tokenizer reproducing spaCy-lowercase token behavior.
+
+The reference tokenizes with ``spacy.load("en_core_web_sm").tokenizer`` and
+lowercases every token (data_loader.py:29-31).  spaCy is not installed here
+(SURVEY §2.9 N7), so this module implements the subset of spaCy's English
+rules that matter for caption-style text:
+
+  * whitespace split, then per-chunk prefix/suffix punctuation peeling
+  * contraction suffix exceptions (n't, 's, 'm, 're, 've, 'll, 'd)
+  * infix splitting on hyphens and slashes between word characters
+  * everything lowercased
+
+A C++ implementation with the same contract lives in ``native/`` (loaded via
+ctypes when built); this pure-Python version is the reference and fallback.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import List
+
+# Punctuation peeled one char at a time from the front / back of a chunk.
+_PREFIX_PUNCT = set("([{\"'`$#@<")
+_SUFFIX_PUNCT = set(".,!?:;\"')]}%>")
+# Contraction suffixes spaCy splits as their own tokens.
+_CONTRACTIONS = ("n't", "'s", "'m", "'re", "'ve", "'ll", "'d")
+# Infix characters that become separate tokens when between word chars.
+_INFIX_RE = re.compile(r"([\-/])")
+_WORDISH_RE = re.compile(r"\w")
+
+
+def _split_chunk(chunk: str) -> List[str]:
+    prefix: List[str] = []
+    suffix: List[str] = []
+    while chunk and chunk[0] in _PREFIX_PUNCT:
+        prefix.append(chunk[0])
+        chunk = chunk[1:]
+    while chunk and chunk[-1] in _SUFFIX_PUNCT:
+        # "..." stays peeled into individual "." tokens like spaCy's suffix pass
+        suffix.append(chunk[-1])
+        chunk = chunk[:-1]
+    suffix.reverse()
+
+    middle: List[str] = []
+    if chunk:
+        lowered = chunk.lower()
+        matched = None
+        for c in _CONTRACTIONS:
+            if lowered.endswith(c) and len(chunk) > len(c):
+                matched = c
+                break
+        if matched:
+            head = chunk[: -len(matched)]
+            middle.extend(_split_infix(head))
+            middle.append(chunk[-len(matched):])
+        else:
+            middle.extend(_split_infix(chunk))
+    return prefix + middle + suffix
+
+
+def _split_infix(chunk: str) -> List[str]:
+    if not chunk:
+        return []
+    parts = _INFIX_RE.split(chunk)
+    # Only keep the split if the separators sit between wordish chars;
+    # otherwise (e.g. a bare "-") return the chunk whole.
+    if len(parts) == 1:
+        return [chunk]
+    out = [p for p in parts if p != ""]
+    if all(_WORDISH_RE.search(p) or p in "-/" for p in out):
+        return out
+    return [chunk]
+
+
+def tokenize(text: str) -> List[str]:
+    """Tokenize + lowercase, mirroring ``[t.text.lower() for t in spacy(...)]``."""
+    tokens: List[str] = []
+    for chunk in str(text).split():
+        tokens.extend(_split_chunk(chunk))
+    return [t.lower() for t in tokens]

@@ -96,25 +96,32 @@ class StudentConfig:
     image_size: int = 224
 
 
+def _student_cfg(defaults: dict, over: dict) -> StudentConfig:
+    return StudentConfig(**{**defaults, **over})
+
+
 def full_student_config(vocab_size: int, **over) -> StudentConfig:
-    return StudentConfig(vocab_size=vocab_size, variant="full", embed_size=256,
-                         hidden_size=512, num_layers=2, dropout=0.2,
-                         use_attention_refinement=True, feature_tokens=49, **over)
+    return _student_cfg(dict(
+        vocab_size=vocab_size, variant="full", embed_size=256, hidden_size=512,
+        num_layers=2, dropout=0.2, use_attention_refinement=True,
+        feature_tokens=49), over)
 
 
 def compact_student_config(vocab_size: int, **over) -> StudentConfig:
     """Compact defaults (student_model_compact.py:198-199); the optimized KD
     trainer uses 256/256/1/0.1 no-refinement (train_student_kd_optimized.py:308-315)."""
-    return StudentConfig(vocab_size=vocab_size, variant="compact", embed_size=256,
-                         hidden_size=256, num_layers=1, dropout=0.1,
-                         use_attention_refinement=False, feature_tokens=49, **over)
+    return _student_cfg(dict(
+        vocab_size=vocab_size, variant="compact", embed_size=256,
+        hidden_size=256, num_layers=1, dropout=0.1,
+        use_attention_refinement=False, feature_tokens=49), over)
 
 
 def enhanced_student_config(vocab_size: int, **over) -> StudentConfig:
     """Enhanced defaults 384/768/3 (student_model_enhanced.py:378); 8x8=64 tokens."""
-    return StudentConfig(vocab_size=vocab_size, variant="enhanced", embed_size=384,
-                         hidden_size=768, num_layers=3, dropout=0.15,
-                         use_attention_refinement=True, feature_tokens=64, **over)
+    return _student_cfg(dict(
+        vocab_size=vocab_size, variant="enhanced", embed_size=384,
+        hidden_size=768, num_layers=3, dropout=0.15,
+        use_attention_refinement=True, feature_tokens=64), over)
 
 
 @dataclass(frozen=True)

@@ -1,0 +1,175 @@
+"""Teacher: transformer decoder vs torch oracle, ViT vs handwritten oracle,
+KV-cached incremental decode vs full forward."""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import torch
+import torch.nn as tnn
+
+from imagecaptioner_tpu.core import modules as M
+from imagecaptioner_tpu.core.config import TeacherConfig
+from imagecaptioner_tpu.models import teacher as TM
+from imagecaptioner_tpu.models import transformer as TD
+from imagecaptioner_tpu.models import vit
+
+
+def j(t):
+    return jnp.asarray(np.array(t.detach().numpy(), copy=True))
+
+
+def _mha_params(mha):
+    return {
+        "in_proj_weight": j(mha.in_proj_weight),
+        "in_proj_bias": j(mha.in_proj_bias),
+        "out_proj": {"weight": j(mha.out_proj.weight), "bias": j(mha.out_proj.bias)},
+    }
+
+
+def _layer_params(tl):
+    return {
+        "self_attn": _mha_params(tl.self_attn),
+        "multihead_attn": _mha_params(tl.multihead_attn),
+        "linear1": {"weight": j(tl.linear1.weight), "bias": j(tl.linear1.bias)},
+        "linear2": {"weight": j(tl.linear2.weight), "bias": j(tl.linear2.bias)},
+        "norm1": {"weight": j(tl.norm1.weight), "bias": j(tl.norm1.bias)},
+        "norm2": {"weight": j(tl.norm2.weight), "bias": j(tl.norm2.bias)},
+        "norm3": {"weight": j(tl.norm3.weight), "bias": j(tl.norm3.bias)},
+    }
+
+
+def _torch_decoder(E, H, layers, ff):
+    layer = tnn.TransformerDecoderLayer(
+        d_model=E, nhead=H, dim_feedforward=ff, dropout=0.0, batch_first=False)
+    return tnn.TransformerDecoder(layer, num_layers=layers)
+
+
+def test_decoder_stack_matches_torch():
+    torch.manual_seed(0)
+    E, H, NL, T, B, L = 32, 4, 3, 6, 2, 9
+    dec = _torch_decoder(E, H, NL, 2 * E)
+    dec.eval()
+    tgt = torch.randn(T, B, E)
+    mem = torch.randn(L, B, E)
+    mask = torch.triu(torch.ones(T, T), diagonal=1).bool()
+    with torch.no_grad():
+        out_t = dec(tgt, mem, tgt_mask=mask)
+    layers = [_layer_params(dec.layers[i]) for i in range(NL)]
+    out_j = TD.decoder_apply(
+        layers, j(tgt).transpose(1, 0, 2), j(mem).transpose(1, 0, 2),
+        num_heads=H, tgt_mask=M.causal_mask(T))
+    np.testing.assert_allclose(np.asarray(out_j.transpose(1, 0, 2)),
+                               out_t.numpy(), atol=2e-5, rtol=1e-4)
+
+
+def test_kv_cached_decode_matches_full_forward():
+    torch.manual_seed(1)
+    E, H, NL, T, B, L = 32, 4, 2, 5, 3, 7
+    dec = _torch_decoder(E, H, NL, 2 * E)
+    layers = [_layer_params(dec.layers[i]) for i in range(NL)]
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(B, T, E)).astype(np.float32))
+    mem = jnp.asarray(np.random.default_rng(1).normal(size=(B, L, E)).astype(np.float32))
+
+    full = TD.decoder_apply(layers, x, mem, num_heads=H, tgt_mask=M.causal_mask(T))
+
+    mem_kv = TD.precompute_memory_kv(layers, mem)
+    self_kv = TD.init_kv_cache(NL, B, T, E)
+    outs = []
+    for t in range(T):
+        y, self_kv = TD.decoder_step_cached(
+            layers, x[:, t:t + 1, :], jnp.int32(t), self_kv, mem_kv, num_heads=H)
+        outs.append(y[:, 0, :])
+    stepped = jnp.stack(outs, axis=1)
+    np.testing.assert_allclose(np.asarray(stepped), np.asarray(full),
+                               atol=2e-5, rtol=1e-4)
+
+
+class _TorchViTBlockOracle(tnn.Module):
+    """timm ViT block semantics (pre-norm, qkv-packed attention, GELU MLP)."""
+
+    def __init__(self, dim, heads, mlp_ratio):
+        super().__init__()
+        self.norm1 = tnn.LayerNorm(dim)
+        self.qkv = tnn.Linear(dim, dim * 3)
+        self.proj = tnn.Linear(dim, dim)
+        self.norm2 = tnn.LayerNorm(dim)
+        self.fc1 = tnn.Linear(dim, int(dim * mlp_ratio))
+        self.fc2 = tnn.Linear(int(dim * mlp_ratio), dim)
+        self.heads = heads
+
+    def forward(self, x):
+        B, L, D = x.shape
+        h = self.norm1(x)
+        qkv = self.qkv(h).reshape(B, L, 3, self.heads, D // self.heads)
+        q, k, v = [qkv[:, :, i].transpose(1, 2) for i in range(3)]
+        w = torch.softmax(q @ k.transpose(-2, -1) / math.sqrt(D // self.heads), dim=-1)
+        a = (w @ v).transpose(1, 2).reshape(B, L, D)
+        x = x + self.proj(a)
+        h = self.norm2(x)
+        return x + self.fc2(torch.nn.functional.gelu(self.fc1(h)))
+
+
+def test_vit_block_matches_oracle():
+    torch.manual_seed(2)
+    D, H = 24, 3
+    blk = _TorchViTBlockOracle(D, H, 4.0)
+    x = torch.randn(2, 10, D)
+    with torch.no_grad():
+        out_t = blk(x)
+    p = {
+        "norm1": {"weight": j(blk.norm1.weight), "bias": j(blk.norm1.bias)},
+        "attn": {"qkv": {"weight": j(blk.qkv.weight), "bias": j(blk.qkv.bias)},
+                 "proj": {"weight": j(blk.proj.weight), "bias": j(blk.proj.bias)}},
+        "norm2": {"weight": j(blk.norm2.weight), "bias": j(blk.norm2.bias)},
+        "mlp": {"fc1": {"weight": j(blk.fc1.weight), "bias": j(blk.fc1.bias)},
+                "fc2": {"weight": j(blk.fc2.weight), "bias": j(blk.fc2.bias)}},
+    }
+    out_j = vit._block_apply(p, j(x), H)
+    np.testing.assert_allclose(np.asarray(out_j), out_t.numpy(), atol=2e-5,
+                               rtol=1e-4)
+
+
+def test_teacher_forward_shapes_and_param_count():
+    cfg = TeacherConfig(vocab_size=120, embed_size=64, num_heads=4,
+                        num_decoder_layers=2, dropout=0.0,
+                        encoder_dim=48, encoder_depth=2, encoder_heads=3,
+                        image_size=32, patch_size=16)
+    p = TM.teacher_init(jax.random.PRNGKey(0), cfg)
+    images = jax.random.normal(jax.random.PRNGKey(1), (2, 3, 32, 32))
+    captions = jax.random.randint(jax.random.PRNGKey(2), (5, 2), 0, 120)
+    logits = TM.teacher_apply(p, images, captions, cfg, train=False)
+    assert logits.shape == (5, 2, 120)
+    assert jnp.isfinite(logits).all()
+    assert "encoder_projection" in p  # 48 != 64
+    # memory reuse path identical
+    mem = TM.encode_image(p, images, cfg)
+    logits2 = TM.teacher_apply(p, images, captions, cfg, memory=mem)
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(logits2), atol=1e-6)
+
+
+def test_teacher_production_size():
+    """512/8/4/0.15 with ViT-S: ~25M params claimed (README.md:10)."""
+    cfg = TeacherConfig(vocab_size=2994)
+    p = TM.teacher_init(jax.random.PRNGKey(0), cfg)
+    n = TM.count_parameters(p)
+    # ViT-S/16 headless is 21.7M; 4 decoder layers add ~12.6M, embeddings/head
+    # ~3M at V=2994.  (The README's "~25M" claim is loose — the reference's
+    # own 512/8/4 torch teacher is ~37M as well.)
+    assert 30e6 < n < 40e6
+    # encoder alone matches timm vit_small_patch16_224 num_params (no head)
+    n_enc = M.tree_size(p["encoder"])
+    assert abs(n_enc - 21_665_664) < 1e5
+
+
+def test_teacher_trainable_mask():
+    cfg = TeacherConfig(vocab_size=50, encoder_depth=12)
+    p = TM.teacher_init(jax.random.PRNGKey(0), cfg)
+    mask = TM.teacher_trainable_mask(p, cfg)
+    assert not any(jax.tree.leaves(mask["encoder"]["blocks"][0]))
+    assert not any(jax.tree.leaves(mask["encoder"]["blocks"][7]))
+    assert all(jax.tree.leaves(mask["encoder"]["blocks"][8]))
+    assert all(jax.tree.leaves(mask["encoder"]["norm"]))
+    assert not mask["encoder"]["cls_token"]
+    assert all(jax.tree.leaves(mask["decoder"]))

@@ -366,15 +366,19 @@ def batch_norm(
 # ---------------------------------------------------------------------------
 
 
-def sinusoidal_positional_encoding(max_len: int, d_model: int) -> jnp.ndarray:
-    """Standard sinusoidal PE table, shape (max_len, d_model)."""
+def sinusoidal_positional_encoding(max_len: int, d_model: int) -> np.ndarray:
+    """Standard sinusoidal PE table, shape (max_len, d_model).
+
+    Returns host numpy so results can be cached across jit traces without
+    leaking tracers; callers ``jnp.asarray`` at the use site.
+    """
     position = np.arange(max_len, dtype=np.float32)[:, None]
     div_term = np.exp(np.arange(0, d_model, 2, dtype=np.float32)
                       * (-math.log(10000.0) / d_model))
     pe = np.zeros((max_len, d_model), dtype=np.float32)
     pe[:, 0::2] = np.sin(position * div_term)
     pe[:, 1::2] = np.cos(position * div_term)
-    return jnp.asarray(pe)
+    return pe
 
 
 def causal_mask(seq_len: int) -> jnp.ndarray:

@@ -59,14 +59,18 @@ def encode_image(p: Params, images: jnp.ndarray, cfg: TeacherConfig, *,
     return feats
 
 
-_PE_CACHE: Dict[Tuple[int, int], jnp.ndarray] = {}
+_PE_CACHE: Dict[Tuple[int, int], "object"] = {}
 
 
 def _pe(cfg: TeacherConfig) -> jnp.ndarray:
     key = (cfg.max_pe_len, cfg.embed_size)
     if key not in _PE_CACHE:
-        _PE_CACHE[key] = M.sinusoidal_positional_encoding(*key)
-    return _PE_CACHE[key]
+        # cache host-side (numpy) so a table built during a jit trace can
+        # never leak a tracer into later calls
+        import numpy as _np
+
+        _PE_CACHE[key] = _np.asarray(M.sinusoidal_positional_encoding(*key))
+    return jnp.asarray(_PE_CACHE[key])
 
 
 def embed_captions(p: Params, captions_tb: jnp.ndarray, cfg: TeacherConfig, *,

@@ -1,0 +1,295 @@
+"""On-device caption decoding: greedy, temperature sampling, beam search.
+
+Replaces the reference's host decode loops (SURVEY §3.3-3.4) — one eager
+dispatch + ``.item()`` sync per token there; one jitted ``lax.scan`` per
+caption here, with on-device argmax/top_k/categorical (SURVEY §2.9 N10).
+
+Semantics reproduced:
+  * student greedy: argmax w/ temperature divide, stop at <END>, max_length
+    tokens (student_model.py:314-381)
+  * teacher beam: GNMT length penalty ((5+L)/6)^a, EOS-finalize, beam-width
+    *shrink* on EOS (teacher_model.py:108-252).  The shrink is a dynamic
+    shape, so this implementation keeps a fixed K slots + an ``n_live``
+    counter: top-K candidates are computed but only the first ``n_live`` are
+    accepted each step — provably the same accepted set as the reference's
+    top-``B_live`` (candidates are score-sorted in both).
+  * teacher temperature sampling: softmax(logits/T) multinomial
+    (streamlit_app.py:165-221), via jax.random.categorical.
+
+All teacher decode paths use the KV cache (models/transformer.py) instead of
+re-running the full prefix each step.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from imagecaptioner_tpu.core import modules as M
+from imagecaptioner_tpu.core.config import StudentConfig, TeacherConfig
+from imagecaptioner_tpu.data.vocabulary import END, PAD, START
+from imagecaptioner_tpu.models import lstm as L
+from imagecaptioner_tpu.models import student as SM
+from imagecaptioner_tpu.models import teacher as TM
+from imagecaptioner_tpu.models import transformer as TD
+
+
+# ---------------------------------------------------------------------------
+# Student greedy / sampling (batched)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "max_length", "temperature"))
+def greedy_decode_student(
+    params: Dict, feats: jnp.ndarray, cfg: StudentConfig, *,
+    max_length: int = 20, temperature: float = 1.0,
+    rng: Optional[jax.Array] = None,
+) -> jnp.ndarray:
+    """Batched greedy decode over refined features (B, L, E).
+
+    Returns (B, max_length) int32 tokens; positions at/after the first <END>
+    are PAD.  Pass ``rng`` to switch from argmax to multinomial sampling at
+    ``temperature`` (streamlit student path uses T=1.1).
+    """
+    B = feats.shape[0]
+    hc0 = L.init_hidden(cfg.num_layers, B, cfg.hidden_size, feats.dtype)
+    tok0 = jnp.full((B,), START, jnp.int32)
+    done0 = jnp.zeros((B,), bool)
+
+    def scan_fn(carry, step_rng):
+        hc, tok, done = carry
+        emb = M.embedding(params["decoder"]["embedding"], tok).astype(feats.dtype)
+        logits, hc_new, _ = SM.decoder_step(params, emb, hc, feats, cfg)
+        logits = logits.astype(jnp.float32)
+        if temperature != 1.0:
+            logits = logits / temperature
+        if rng is None:
+            nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        else:
+            nxt = jax.random.categorical(step_rng, logits, axis=-1).astype(jnp.int32)
+        is_end = nxt == END
+        out = jnp.where(done | is_end, PAD, nxt)
+        done_new = done | is_end
+        # frozen sequences keep feeding their last real token; outputs masked
+        tok_new = jnp.where(done_new, tok, nxt)
+        return (hc_new, tok_new, done_new), out
+
+    rngs = (jax.random.split(rng, max_length) if rng is not None
+            else jnp.zeros((max_length, 2), jnp.uint32))
+    _, toks = jax.lax.scan(scan_fn, (hc0, tok0, done0), rngs)
+    return toks.T  # (B, max_length)
+
+
+# ---------------------------------------------------------------------------
+# Teacher step machinery
+# ---------------------------------------------------------------------------
+
+
+def _teacher_logits_step(params, y, cfg: TeacherConfig) -> jnp.ndarray:
+    """(B, 1, E) decoder output -> (B, V) fp32 logits (norm + head,
+    teacher_model.py:167-168)."""
+    y = M.layer_norm(params["pre_output_norm"], y)
+    return M.dense(params["fc_out"], y)[:, 0, :].astype(jnp.float32)
+
+
+def _teacher_embed_step(params, tok: jnp.ndarray, pos, cfg: TeacherConfig
+                        ) -> jnp.ndarray:
+    """(B,) token + scalar position -> (B, 1, E) with sinusoidal PE."""
+    emb = M.embedding(params["embedding"], tok)[:, None, :]
+    pe = jax.lax.dynamic_slice_in_dim(TM._pe(cfg), pos, 1, axis=0)
+    return emb + pe[None, :, :].astype(emb.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "max_length", "sample",
+                                             "temperature"))
+def greedy_decode_teacher(
+    params: Dict, memory: jnp.ndarray, cfg: TeacherConfig, *,
+    max_length: int = 20, temperature: float = 1.0, sample: bool = False,
+    rng: Optional[jax.Array] = None,
+) -> jnp.ndarray:
+    """Batched KV-cached greedy/sampled decode. memory (B, L, E) ->
+    (B, max_length) tokens (PAD after first <END>)."""
+    B = memory.shape[0]
+    layers = params["decoder"]
+    mem_kv = TD.precompute_memory_kv(layers, memory)
+    self_kv = TD.init_kv_cache(len(layers), B, max_length + 1,
+                               cfg.embed_size, memory.dtype)
+    tok0 = jnp.full((B,), START, jnp.int32)
+    done0 = jnp.zeros((B,), bool)
+
+    def scan_fn(carry, xs):
+        self_kv, tok, done = carry
+        t, step_rng = xs
+        x = _teacher_embed_step(params, tok, t, cfg).astype(memory.dtype)
+        y, self_kv = TD.decoder_step_cached(layers, x, t, self_kv, mem_kv,
+                                            num_heads=cfg.num_heads)
+        logits = _teacher_logits_step(params, y, cfg)
+        if temperature != 1.0:
+            logits = logits / temperature
+        if sample:
+            nxt = jax.random.categorical(step_rng, logits, axis=-1).astype(jnp.int32)
+        else:
+            nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        is_end = nxt == END
+        out = jnp.where(done | is_end, PAD, nxt)
+        done_new = done | is_end
+        tok_new = jnp.where(done_new, tok, nxt)
+        return (self_kv, tok_new, done_new), out
+
+    rngs = (jax.random.split(rng, max_length) if rng is not None
+            else jnp.zeros((max_length, 2), jnp.uint32))
+    _, toks = jax.lax.scan(scan_fn, (self_kv, tok0, done0),
+                           (jnp.arange(max_length), rngs))
+    return toks.T
+
+
+# ---------------------------------------------------------------------------
+# Teacher beam search (fixed-width masked; reference shrink semantics)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "max_length", "beam_size",
+                                             "length_penalty"))
+def beam_search_teacher(
+    params: Dict, memory: jnp.ndarray, cfg: TeacherConfig, *,
+    max_length: int = 20, beam_size: int = 5, length_penalty: float = 0.6,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Single-image beam search. memory (1, L, E).
+
+    Returns (seqs (K, max_length+1) incl. <START>, normalized scores (K,)
+    sorted desc with -inf padding, lengths (K,)).
+    """
+    K = beam_size
+    S = max_length + 1
+    V = cfg.vocab_size
+    layers = params["decoder"]
+    memory_k = jnp.broadcast_to(memory, (K,) + memory.shape[1:])
+    mem_kv = TD.precompute_memory_kv(layers, memory_k)
+    self_kv = TD.init_kv_cache(len(layers), K, S, cfg.embed_size, memory.dtype)
+
+    def lp(length):  # GNMT penalty, teacher_model.py:202
+        if length_penalty > 0:
+            return ((5.0 + length.astype(jnp.float32)) / 6.0) ** length_penalty
+        return jnp.float32(1.0)
+
+    state = dict(
+        seqs=jnp.full((K, S), PAD, jnp.int32).at[:, 0].set(START),
+        scores=jnp.full((K,), -jnp.inf).at[0].set(0.0),  # only beam 0 live at t=0
+        n_live=jnp.int32(K),  # reference starts with beam_size live slots
+        self_kv=self_kv,
+        fin_seqs=jnp.full((K, S), PAD, jnp.int32),
+        fin_scores=jnp.full((K,), -jnp.inf),
+        fin_lens=jnp.zeros((K,), jnp.int32),
+        fin_count=jnp.int32(0),
+    )
+
+    def step(state, t):
+        # t = 0..max_length-1; current prefix length = t+1
+        tok = state["seqs"][:, t]
+        x = _teacher_embed_step(params, tok, t, cfg).astype(memory.dtype)
+        y, self_kv = TD.decoder_step_cached(layers, x, t, state["self_kv"],
+                                            mem_kv, num_heads=cfg.num_heads)
+        logits = _teacher_logits_step(params, y, cfg)          # (K, V)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        cand = state["scores"][:, None] + logp                 # dead rows -inf
+        top_scores, top_idx = jax.lax.top_k(cand.reshape(-1), K)
+        origin = (top_idx // V).astype(jnp.int32)
+        token = (top_idx % V).astype(jnp.int32)
+
+        accepted = jnp.arange(K) < state["n_live"]             # reference topk(B_live)
+        is_end = token == END
+        finalize = accepted & is_end & jnp.isfinite(top_scores)
+        keep = accepted & (~is_end) & jnp.isfinite(top_scores)
+
+        # --- finalize into the finished buffer (candidate order preserved) --
+        hyp_len = t + 2  # includes <START> and <END>
+        norm = top_scores / lp(jnp.int32(hyp_len))
+        slot = state["fin_count"] + jnp.cumsum(finalize.astype(jnp.int32)) - 1
+        slot = jnp.where(finalize, slot, K)  # K = scatter-drop
+        fin_seq_rows = state["seqs"][origin].at[:, t + 1].set(token)
+        fin_seqs = _scatter_rows(state["fin_seqs"], slot, fin_seq_rows, finalize)
+        fin_scores = _scatter_vals(state["fin_scores"], slot, norm, finalize)
+        fin_lens = _scatter_vals(state["fin_lens"], slot,
+                                 jnp.full((K,), hyp_len, jnp.int32), finalize)
+        fin_count = state["fin_count"] + jnp.sum(finalize.astype(jnp.int32))
+
+        # --- compact surviving beams into slots 0..n_new-1 ------------------
+        # stable order: live candidates in score order (matches reference append)
+        order = jnp.argsort(jnp.where(keep, jnp.arange(K), K + jnp.arange(K)))
+        n_new = jnp.sum(keep.astype(jnp.int32))
+        src = order  # candidate index per new slot
+        new_seqs = state["seqs"][origin[src]].at[:, t + 1].set(token[src])
+        new_scores = jnp.where(jnp.arange(K) < n_new, top_scores[src], -jnp.inf)
+        # gather the *updated* kv (with this step's writes) per surviving beam
+        new_kv = {"k": self_kv["k"][:, origin[src]],
+                  "v": self_kv["v"][:, origin[src]]}
+        return dict(
+            seqs=new_seqs, scores=new_scores, n_live=n_new, self_kv=new_kv,
+            fin_seqs=fin_seqs, fin_scores=fin_scores, fin_lens=fin_lens,
+            fin_count=fin_count,
+        ), None
+
+    state, _ = jax.lax.scan(step, state, jnp.arange(max_length))
+
+    # If nothing finished, finalize live beams (teacher_model.py:231-236)
+    live_len = jnp.int32(S)
+    live_norm = jnp.where(jnp.arange(K) < state["n_live"],
+                          state["scores"] / lp(live_len), -jnp.inf)
+    none_finished = state["fin_count"] == 0
+    fin_scores = jnp.where(none_finished, live_norm, state["fin_scores"])
+    fin_seqs = jnp.where(none_finished, state["seqs"], state["fin_seqs"])
+    fin_lens = jnp.where(none_finished,
+                         jnp.full((K,), S, jnp.int32), state["fin_lens"])
+
+    order = jnp.argsort(-fin_scores)
+    return fin_seqs[order], fin_scores[order], fin_lens[order]
+
+
+def _scatter_rows(buf, slot, rows, mask):
+    """Scatter rows[i] -> buf[slot[i]] where mask[i]; slot==K drops."""
+    K = buf.shape[0]
+    safe = jnp.where(mask, slot, K)
+    return buf.at[safe].set(rows, mode="drop")
+
+
+def _scatter_vals(buf, slot, vals, mask):
+    K = buf.shape[0]
+    safe = jnp.where(mask, slot, K)
+    return buf.at[safe].set(vals, mode="drop")
+
+
+# ---------------------------------------------------------------------------
+# Host-side detokenization
+# ---------------------------------------------------------------------------
+
+
+def tokens_to_words(tokens, vocab) -> List[str]:
+    """(max_len,) decode output -> word list (PAD/START/END stripped)."""
+    return vocab.decode(np.asarray(tokens).tolist())
+
+
+def tokens_to_caption(tokens, vocab) -> str:
+    return " ".join(tokens_to_words(tokens, vocab))
+
+
+def beam_result_to_captions(seqs, scores, vocab, num_return_sequences: int = 1
+                            ) -> List[str]:
+    """Strip <START>/<END> and join (teacher_model.py:240-252)."""
+    outs = []
+    seqs = np.asarray(seqs)
+    scores = np.asarray(scores)
+    for i in range(min(num_return_sequences, len(seqs))):
+        if not np.isfinite(scores[i]):
+            continue
+        toks = seqs[i].tolist()
+        if toks and toks[0] == START:
+            toks = toks[1:]
+        if END in toks:
+            toks = toks[: toks.index(END)]
+        toks = [t for t in toks if t != PAD]
+        outs.append(" ".join(vocab.itos.get(t, "<UNK>") for t in toks))
+    return outs

@@ -1,0 +1,122 @@
+#!/usr/bin/env python
+"""Headline benchmark: full-student batch-16 greedy captioning throughput.
+
+Prints ONE JSON line:
+  {"metric": "student_greedy_images_per_sec_per_chip", "value": N,
+   "unit": "images/s", "vs_baseline": N / cpu_torch_baseline}
+
+``vs_baseline`` is against the CPU PyTorch reference-architecture student
+(BASELINE.json north star: >=10x on v5e-1).  The torch baseline is measured
+once per machine and cached in .bench_baseline.json (delete to re-measure).
+Run with --quick for a fast smoke (smaller batch count).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+VOCAB = 2994
+BATCH = 16
+MAX_LEN = 20
+BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              ".bench_baseline.json")
+
+
+def measure_torch_baseline(num_batches: int = 2) -> float:
+    """images/sec of the eager CPU torch reference student (greedy, B=16)."""
+    import torch
+
+    from benchmarks.torch_baseline import TorchBaselineStudent
+
+    torch.manual_seed(0)
+    model = TorchBaselineStudent(vocab_size=VOCAB)
+    model.eval()
+    images = torch.randn(BATCH, 3, 224, 224)
+    with torch.no_grad():
+        model.greedy_decode(images, max_length=MAX_LEN)  # warmup
+        t0 = time.perf_counter()
+        for _ in range(num_batches):
+            model.greedy_decode(images, max_length=MAX_LEN)
+        dt = time.perf_counter() - t0
+    return BATCH * num_batches / dt
+
+
+def get_torch_baseline(quick: bool) -> float:
+    if os.path.exists(BASELINE_CACHE):
+        with open(BASELINE_CACHE) as f:
+            d = json.load(f)
+        if d.get("vocab") == VOCAB and d.get("batch") == BATCH:
+            return float(d["images_per_sec"])
+    ips = measure_torch_baseline(num_batches=1 if quick else 2)
+    with open(BASELINE_CACHE, "w") as f:
+        json.dump({"vocab": VOCAB, "batch": BATCH, "max_len": MAX_LEN,
+                   "images_per_sec": ips,
+                   "what": "eager CPU torch reference-architecture student, "
+                           "batch-16 greedy decode"}, f)
+    return ips
+
+
+def measure_jax(num_batches: int) -> float:
+    import jax
+    import jax.numpy as jnp
+
+    from imagecaptioner_tpu.core.config import full_student_config
+    from imagecaptioner_tpu.models import student as SM
+    from imagecaptioner_tpu.ops import decode as D
+
+    cfg = full_student_config(VOCAB, dropout=0.0)
+    params, state = SM.student_init(jax.random.PRNGKey(0), cfg)
+    # bf16 params for inference (fp32 logits at the argmax inside decode)
+    import imagecaptioner_tpu.core.precision as P
+
+    params = P.bf16_compute(params)
+    images = jax.random.normal(jax.random.PRNGKey(1),
+                               (BATCH, 3, 224, 224), jnp.bfloat16)
+
+    @jax.jit
+    def caption(params, state, images):
+        _, refined, _ = SM.encode_image(params, state, images, cfg,
+                                        train=False)
+        return D.greedy_decode_student(params, refined, cfg,
+                                       max_length=MAX_LEN)
+
+    toks = caption(params, state, images)
+    jax.block_until_ready(toks)  # compile + warmup
+    t0 = time.perf_counter()
+    for _ in range(num_batches):
+        toks = caption(params, state, images)
+    jax.block_until_ready(toks)
+    dt = time.perf_counter() - t0
+    return BATCH * num_batches / dt
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--skip-baseline", action="store_true",
+                    help="report vs_baseline from cache or 0")
+    args = ap.parse_args()
+
+    num_batches = 3 if args.quick else 10
+    jax_ips = measure_jax(num_batches)
+
+    if args.skip_baseline and not os.path.exists(BASELINE_CACHE):
+        baseline = None
+    else:
+        baseline = get_torch_baseline(args.quick)
+
+    out = {
+        "metric": "student_greedy_images_per_sec_per_chip",
+        "value": round(jax_ips, 3),
+        "unit": "images/s",
+        "vs_baseline": round(jax_ips / baseline, 3) if baseline else None,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

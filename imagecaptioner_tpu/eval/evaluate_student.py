@@ -1,0 +1,220 @@
+"""Student-vs-teacher comparison (src/evaluate_student.py semantics).
+
+StudentEvaluator: per-image latency for both models (warmup + block-until-
+ready), student greedy + teacher beam captions, BLEU-1/2 + METEOR per model,
+success rates, compression/speedup ratios, and the
+``student_vs_teacher_report.json`` schema with 20 sample comparisons.
+
+Usage: ``python -m imagecaptioner_tpu.eval.evaluate_student [...]``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from imagecaptioner_tpu.core.config import StudentConfig, TeacherConfig, full_student_config
+from imagecaptioner_tpu.data import transforms as T
+from imagecaptioner_tpu.data.dataset import CaptionDataset
+from imagecaptioner_tpu.data.vocabulary import Vocabulary
+from imagecaptioner_tpu.eval import metrics as MET
+from imagecaptioner_tpu.eval.latency import measure_inference_time
+from imagecaptioner_tpu.models import student as SM
+from imagecaptioner_tpu.models import teacher as TM
+from imagecaptioner_tpu.ops import decode as D
+from imagecaptioner_tpu.utils import checkpoint as CKPT
+
+
+class StudentEvaluator:
+    def __init__(self, student_params, student_state, s_cfg: StudentConfig,
+                 teacher_params, t_cfg: TeacherConfig, vocab: Vocabulary):
+        self.student_params = student_params
+        self.student_state = student_state
+        self.s_cfg = s_cfg
+        self.teacher_params = teacher_params
+        self.t_cfg = t_cfg
+        self.vocab = vocab
+
+    # -- caption paths -------------------------------------------------------
+
+    def student_caption(self, image_nchw, *, max_length=20) -> str:
+        _, refined, _ = SM.encode_image(self.student_params, self.student_state,
+                                        image_nchw, self.s_cfg, train=False)
+        toks = D.greedy_decode_student(self.student_params, refined,
+                                       self.s_cfg, max_length=max_length)
+        return D.tokens_to_caption(np.asarray(toks[0]), self.vocab)
+
+    def teacher_caption(self, image_nchw, *, max_length=20, beam_size=5) -> str:
+        memory = TM.encode_image(self.teacher_params, image_nchw, self.t_cfg)
+        seqs, scores, _ = D.beam_search_teacher(
+            self.teacher_params, memory, self.t_cfg, max_length=max_length,
+            beam_size=beam_size)
+        outs = D.beam_result_to_captions(seqs, scores, self.vocab, 1)
+        return outs[0] if outs else ""
+
+    # -- latency -------------------------------------------------------------
+
+    def measure_latencies(self, image_nchw, *, num_runs=10) -> Dict[str, Dict]:
+        student = measure_inference_time(
+            lambda: self._student_tokens(image_nchw), num_runs=num_runs)
+        teacher = measure_inference_time(
+            lambda: self._teacher_tokens(image_nchw), num_runs=num_runs)
+        return {"student": student, "teacher": teacher}
+
+    def _student_tokens(self, image_nchw):
+        _, refined, _ = SM.encode_image(self.student_params, self.student_state,
+                                        image_nchw, self.s_cfg, train=False)
+        return D.greedy_decode_student(self.student_params, refined, self.s_cfg)
+
+    def _teacher_tokens(self, image_nchw):
+        memory = TM.encode_image(self.teacher_params, image_nchw, self.t_cfg)
+        return D.beam_search_teacher(self.teacher_params, memory, self.t_cfg)[0]
+
+    # -- dataset comparison (evaluate_student.py:99-201) ----------------------
+
+    def compare_models_on_dataset(self, dataset, *, max_samples: int = 100,
+                                  measure_latency_samples: int = 5,
+                                  verbose: bool = True) -> Dict:
+        n = min(max_samples, len(dataset))
+        res = {m: {"bleu1": [], "bleu2": [], "meteor": [], "captions": [],
+                   "failures": 0} for m in ("student", "teacher")}
+        refs, comparisons = [], []
+        lat_student, lat_teacher = [], []
+
+        for i in range(n):
+            img_u8, cap_ids = dataset[i]
+            image = T.normalize(jnp.asarray(img_u8)[None])
+            ref = " ".join(self.vocab.decode(cap_ids))
+            refs.append(ref)
+            row = {"reference": ref}
+            for model in ("student", "teacher"):
+                try:
+                    cap = (self.student_caption(image) if model == "student"
+                           else self.teacher_caption(image))
+                    res[model]["bleu1"].append(
+                        MET.bleu_n(cap.lower().split(), ref.lower().split(), 1))
+                    res[model]["bleu2"].append(
+                        MET.bleu_n(cap.lower().split(), ref.lower().split(), 2))
+                    res[model]["meteor"].append(
+                        MET.meteor_f1(cap.lower().split(), ref.lower().split()))
+                    res[model]["captions"].append(cap)
+                    row[model] = cap
+                except Exception as e:  # per-image failures counted, not fatal
+                    res[model]["failures"] += 1
+                    row[model] = f"<error: {e}>"
+            comparisons.append(row)
+            if i < measure_latency_samples:
+                lat = self.measure_latencies(image, num_runs=3)
+                lat_student.append(lat["student"]["mean_s"])
+                lat_teacher.append(lat["teacher"]["mean_s"])
+            if verbose and (i + 1) % 10 == 0:
+                print(f"  compared {i + 1}/{n}")
+
+        def agg(model):
+            r = res[model]
+            cnt = len(r["bleu1"])
+            return {
+                "bleu1": float(np.mean(r["bleu1"])) if cnt else 0.0,
+                "bleu2": float(np.mean(r["bleu2"])) if cnt else 0.0,
+                "meteor": float(np.mean(r["meteor"])) if cnt else 0.0,
+                "success_rate": cnt / max(n, 1),
+                "avg_inference_time_s": float(np.mean(
+                    lat_student if model == "student" else lat_teacher))
+                if lat_student else None,
+            }
+
+        return {"student": agg("student"), "teacher": agg("teacher"),
+                "num_samples": n, "comparisons": comparisons[:20]}
+
+    # -- report (evaluate_student.py:272-378) ---------------------------------
+
+    def generate_comparison_report(
+        self, dataset, output_path: str = "student_vs_teacher_report.json",
+        **kw,
+    ) -> Dict:
+        results = self.compare_models_on_dataset(dataset, **kw)
+        s, t = results["student"], results["teacher"]
+        student_params_n = SM.count_parameters(self.student_params)
+        teacher_params_n = TM.count_parameters(self.teacher_params)
+        report = {
+            "summary": {
+                "bleu1_ratio": s["bleu1"] / t["bleu1"] if t["bleu1"] else None,
+                "bleu2_ratio": s["bleu2"] / t["bleu2"] if t["bleu2"] else None,
+                "meteor_ratio": (s["meteor"] / t["meteor"]
+                                 if t["meteor"] else None),
+                "speedup": (t["avg_inference_time_s"] / s["avg_inference_time_s"]
+                            if s["avg_inference_time_s"] else None),
+                "compression_ratio": teacher_params_n / student_params_n,
+                "student_parameters": student_params_n,
+                "teacher_parameters": teacher_params_n,
+            },
+            "student": s,
+            "teacher": t,
+            "num_samples": results["num_samples"],
+            "sample_comparisons": results["comparisons"],
+        }
+        os.makedirs(os.path.dirname(os.path.abspath(output_path)), exist_ok=True)
+        with open(output_path, "w") as f:
+            json.dump(report, f, indent=2)
+        print(f"Comparison report saved to {output_path}")
+        summ = report["summary"]
+        print(f"Student/Teacher BLEU-1 ratio: {summ['bleu1_ratio']}")
+        print(f"Speedup: {summ['speedup']}  "
+              f"Compression: {summ['compression_ratio']:.2f}x")
+        return report
+
+
+def load_student_evaluator(student_checkpoint: str, teacher_checkpoint: str,
+                           vocab_path: str) -> StudentEvaluator:
+    vocab = Vocabulary.load(vocab_path)
+    s_ckpt = CKPT.load_checkpoint(student_checkpoint)
+    t_ckpt = CKPT.load_checkpoint(teacher_checkpoint)
+    mc = s_ckpt.get("model_config", {})
+    variant = mc.pop("model_type", "full")
+    mk = full_student_config
+    if variant == "compact":
+        from imagecaptioner_tpu.core.config import compact_student_config as mk
+    s_cfg = mk(int(s_ckpt["vocab_size"]),
+               **{k: v for k, v in mc.items()
+                  if k in ("embed_size", "hidden_size", "num_layers",
+                           "dropout", "use_attention_refinement")})
+    t_cfg = TeacherConfig(vocab_size=int(t_ckpt["vocab_size"]),
+                          **t_ckpt.get("model_config", {}))
+    return StudentEvaluator(
+        jax.tree.map(jnp.asarray, s_ckpt["student_state_dict"]["params"]),
+        jax.tree.map(jnp.asarray, s_ckpt["student_state_dict"]["model_state"]),
+        s_cfg,
+        jax.tree.map(jnp.asarray, t_ckpt["model_state_dict"]["params"]),
+        t_cfg, vocab)
+
+
+def main():
+    ap = argparse.ArgumentParser(description="Compare student vs teacher")
+    ap.add_argument("--student-checkpoint",
+                    default="saved_models/best_student_model.npz")
+    ap.add_argument("--teacher-checkpoint",
+                    default="saved_models/best_teacher_model.npz")
+    ap.add_argument("--vocab", default="saved_models/vocab.json")
+    ap.add_argument("--data-root", default="data/flickr8k")
+    ap.add_argument("--captions-file", default=None)
+    ap.add_argument("--max-samples", type=int, default=100)
+    ap.add_argument("--output", default="student_vs_teacher_report.json")
+    args = ap.parse_args()
+    ev = load_student_evaluator(args.student_checkpoint,
+                                args.teacher_checkpoint, args.vocab)
+    captions = args.captions_file or os.path.join(args.data_root,
+                                                  "captions_clean.csv")
+    dataset = CaptionDataset(args.data_root, captions, vocab=ev.vocab,
+                             image_size=ev.t_cfg.image_size)
+    ev.generate_comparison_report(dataset, args.output,
+                                  max_samples=args.max_samples)
+
+
+if __name__ == "__main__":
+    main()

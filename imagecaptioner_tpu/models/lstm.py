@@ -204,7 +204,8 @@ def full_decoder_apply(
 
     _, (h_tops, attns) = jax.lax.scan(
         scan_fn, hidden, (embedded, jnp.arange(T)))
-    proj_rng = jax.random.fold_in(base_rng, -1) if train else None
+    # steps fold in 0..T-1; T is free for the projection dropout
+    proj_rng = jax.random.fold_in(base_rng, T) if train else None
     logits = output_projection(p["output_projection"], h_tops, cfg,
                                train=train, rng=proj_rng)
     return logits, h_tops, attns

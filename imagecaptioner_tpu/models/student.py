@@ -138,7 +138,11 @@ def compact_refinement_apply(p, feats, *, train=False, rng=None):
 
 
 def student_init(key, cfg: StudentConfig) -> Tuple[Params, Params]:
-    """Dispatch on cfg.variant ('full' | 'compact')."""
+    """Dispatch on cfg.variant ('full' | 'compact' | 'enhanced')."""
+    if cfg.variant == "enhanced":
+        from imagecaptioner_tpu.models import student_enhanced as SE
+
+        return SE.enhanced_student_init(key, cfg)
     k_enc, k_ref, k_dec = jax.random.split(key, 3)
     if cfg.variant == "full":
         enc_p, enc_s = cnn_encoder_init(k_enc, cfg)
@@ -161,7 +165,16 @@ def student_init(key, cfg: StudentConfig) -> Tuple[Params, Params]:
 def encode_image(p, s, images, cfg: StudentConfig, *, train=False, rng=None,
                  refine: bool = True):
     """Encoder (+ optional refinement). Returns (raw_features,
-    refined_features, new_state)."""
+    refined_features, new_state).
+
+    For 'enhanced', "raw" is the compressed-refined KD tap (the reference's
+    contract differs there, student_model_enhanced.py:440-445)."""
+    if cfg.variant == "enhanced":
+        from imagecaptioner_tpu.models import student_enhanced as SE
+
+        refined, compressed, new_s = SE.enhanced_encode(
+            p, s, images, cfg, train=train, rng=rng)
+        return compressed, refined, new_s
     r1, r2 = M.split_rngs(rng, 2)
     if cfg.variant == "full":
         raw, new_s = cnn_encoder_apply(p["encoder"], s, images, cfg,
@@ -186,6 +199,11 @@ def student_apply(
 ):
     """Returns ((logits, encoder_features, hidden_states, attention_weights),
     new_state) — the reference 4-tuple with the *unrefined* feature tap."""
+    if cfg.variant == "enhanced":
+        from imagecaptioner_tpu.models import student_enhanced as SE
+
+        return SE.enhanced_student_apply(p, s, images, captions, cfg,
+                                         train=train, rng=rng)
     r_enc, r_dec = M.split_rngs(rng, 2)
     raw, refined, new_s = encode_image(p, s, images, cfg, train=train, rng=r_enc)
     if cfg.variant == "full":
@@ -199,6 +217,13 @@ def student_apply(
 
 def decoder_step(p, word_emb, hc, feats, cfg: StudentConfig):
     """Single recurrence step + vocab logits — used by the decode loops."""
+    if cfg.variant == "enhanced":
+        from imagecaptioner_tpu.models import student_enhanced as SE
+
+        h_top, enh, hc_new, attn = SE.enhanced_decoder_step(
+            p["decoder"], word_emb, hc, feats, cfg)
+        logits = SE.enhanced_output_projection(p["decoder"], enh, cfg)
+        return logits, hc_new, attn
     if cfg.variant == "full":
         h_top, hc_new, attn = L.full_decoder_step(p["decoder"], word_emb, hc,
                                                   feats, cfg)
@@ -213,6 +238,10 @@ def decoder_step(p, word_emb, hc, feats, cfg: StudentConfig):
 
 def student_trainable_mask(p: Params, cfg: StudentConfig) -> Params:
     """Trainability pytree: frozen backbone prefixes per reference."""
+    if cfg.variant == "enhanced":
+        from imagecaptioner_tpu.models import student_enhanced as SE
+
+        return SE.enhanced_student_trainable_mask(p, cfg)
     mask = jax.tree.map(lambda _: True, p)
     if cfg.variant == "full":
         mask["encoder"]["resnet"] = resnet.resnet50_trainable_mask(

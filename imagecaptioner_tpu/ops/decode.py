@@ -60,9 +60,19 @@ def greedy_decode_student(
     tok0 = jnp.full((B,), START, jnp.int32)
     done0 = jnp.zeros((B,), bool)
 
-    def scan_fn(carry, step_rng):
+    def scan_fn(carry, xs):
+        t, step_rng = xs
         hc, tok, done = carry
         emb = M.embedding(params["decoder"]["embedding"], tok).astype(feats.dtype)
+        if cfg.variant == "enhanced":
+            # learned per-step positional encoding (student_model_enhanced.py:495-497)
+            from imagecaptioner_tpu.models.student_enhanced import MAX_POS
+
+            pe = jax.lax.dynamic_slice_in_dim(
+                params["decoder"]["pos_encoding"][0],
+                jnp.minimum(t, MAX_POS - 1), 1, axis=0)
+            emb = emb + jnp.where(t < MAX_POS, pe[0],
+                                  jnp.zeros_like(pe[0])).astype(emb.dtype)
         logits, hc_new, _ = SM.decoder_step(params, emb, hc, feats, cfg)
         logits = logits.astype(jnp.float32)
         if temperature != 1.0:
@@ -80,7 +90,8 @@ def greedy_decode_student(
 
     rngs = (jax.random.split(rng, max_length) if rng is not None
             else jnp.zeros((max_length, 2), jnp.uint32))
-    _, toks = jax.lax.scan(scan_fn, (hc0, tok0, done0), rngs)
+    _, toks = jax.lax.scan(scan_fn, (hc0, tok0, done0),
+                           (jnp.arange(max_length), rngs))
     return toks.T  # (B, max_length)
 
 

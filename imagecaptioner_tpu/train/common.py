@@ -1,0 +1,80 @@
+"""Shared trainer plumbing: accumulation stacking, history, early stopping."""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Dict, Iterator, List, Optional
+
+import numpy as np
+
+
+def stacked_batches(loader, accumulation_steps: int) -> Iterator[Dict]:
+    """Group loader batches into stacks of ``A`` for in-step accumulation.
+
+    Trailing incomplete groups are dropped — equivalent to the reference,
+    which only steps the optimizer on accumulation boundaries.
+    """
+    buf: List[Dict] = []
+    for batch in loader:
+        buf.append(batch)
+        if len(buf) == accumulation_steps:
+            yield {
+                k: np.stack([b[k] for b in buf]) for k in buf[0]
+            }
+            buf = []
+
+
+class EarlyStopping:
+    """Best-value tracking + patience (mode='min' for loss, 'max' for BLEU)."""
+
+    def __init__(self, patience: int, mode: str = "min"):
+        self.patience = patience
+        self.mode = mode
+        self.best: Optional[float] = None
+        self.counter = 0
+
+    def update(self, value: float) -> bool:
+        """Returns True if ``value`` is a new best."""
+        improved = (self.best is None
+                    or (self.mode == "min" and value < self.best)
+                    or (self.mode == "max" and value > self.best))
+        if improved:
+            self.best = value
+            self.counter = 0
+        else:
+            self.counter += 1
+        return improved
+
+    @property
+    def should_stop(self) -> bool:
+        return self.counter >= self.patience
+
+
+def write_history(path: str, history: Dict) -> None:
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    with open(path, "w") as f:
+        json.dump(history, f, indent=2)
+
+
+def log_progress(epoch, batch_idx, loss_dict, learning_rate, total_batches,
+                 every: int = 50):
+    """log_training_progress (distillation_utils.py:412-422)."""
+    if batch_idx % every == 0:
+        print(f"Epoch {epoch}, Batch {batch_idx}/{total_batches}")
+        print(f"  LR: {learning_rate:.6f}")
+        for name in ("total_loss", "ce_loss", "token_kd_loss",
+                     "feature_kd_loss", "hidden_kd_loss"):
+            if name in loss_dict:
+                label = name.replace("_", " ").title()
+                print(f"  {label}: {float(loss_dict[name]):.4f}")
+        print("-" * 50)
+
+
+class Timer:
+    def __init__(self):
+        self.start = time.time()
+
+    def elapsed(self) -> float:
+        return time.time() - self.start

@@ -1,0 +1,255 @@
+"""Optimized KD entry point (src/train_student_kd_optimized.py:205-604).
+
+Differences from the flagship KD trainer, per the reference: compact
+MobileNetV2 student (256/256/1/0.1, no refinement), OptimizedDistillationLoss
+(warmup-adaptive 0.8/0.15/0.05, T=3, focal hard loss, cosine feature loss),
+OneCycleLR stepped per optimizer update with a 3rd param group at lr x1.5 /
+wd 0.005, heavier augmentation (Resize 256 + RandomCrop 224 + rotation),
+fast validation every epoch (15 batches), rich checkpoint with
+training_config + performance_metrics, ``optimized_training_history.json``
+with timing.
+
+Usage: ``python -m imagecaptioner_tpu.train.train_student_kd_optimized``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+from collections import defaultdict
+from dataclasses import replace
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from imagecaptioner_tpu.core.config import (
+    OptimizedDistillConfig, OptimizedKDTrainConfig, compact_student_config)
+from imagecaptioner_tpu.data import transforms as T
+from imagecaptioner_tpu.data.loader import get_loader
+from imagecaptioner_tpu.distill.projector import create_feature_projectors
+from imagecaptioner_tpu.eval.metrics import monitoring_bleu
+from imagecaptioner_tpu.models import student as SM
+from imagecaptioner_tpu.train import common, optim as O, steps
+from imagecaptioner_tpu.train.train_student_kd import load_teacher
+from imagecaptioner_tpu.utils import checkpoint as CKPT
+
+
+def train_student_with_kd_optimized(
+    data_root: str = "data/flickr8k",
+    captions_file: Optional[str] = None,
+    teacher_checkpoint: str = "saved_models/best_teacher_model.npz",
+    output_dir: str = "saved_models",
+    *,
+    train_cfg: Optional[OptimizedKDTrainConfig] = None,
+    distill_cfg: Optional[OptimizedDistillConfig] = None,
+    num_epochs: Optional[int] = None,
+    max_caption_len: int = 48,
+    image_size: int = 224,
+    compute_dtype=jnp.bfloat16,
+    seed: int = 0,
+    max_steps_per_epoch: Optional[int] = None,
+    verbose: bool = True,
+):
+    tr = train_cfg or OptimizedKDTrainConfig()
+    if num_epochs is not None:
+        tr = replace(tr, num_epochs=num_epochs)
+    od_cfg = distill_cfg or OptimizedDistillConfig()
+    captions_file = captions_file or os.path.join(data_root, "captions_clean.csv")
+
+    # Larger host images; on-device RandomCrop to image_size (reference
+    # Resize(256)+RandomCrop(224), :245-253)
+    host_size = image_size + 32
+    train_loader, dataset = get_loader(
+        data_root, captions_file, batch_size=tr.batch_size,
+        max_caption_len=max_caption_len, shuffle=True, seed=seed,
+        image_size=host_size)
+    val_loader, _ = get_loader(
+        data_root, captions_file, batch_size=tr.batch_size,
+        max_caption_len=max_caption_len, shuffle=False, vocab=dataset.vocab,
+        image_size=image_size)
+    vocab = dataset.vocab
+    vocab_size = len(vocab)
+
+    teacher_params, t_cfg = load_teacher(teacher_checkpoint, vocab_size)
+    s_cfg = compact_student_config(vocab_size)
+
+    key = jax.random.PRNGKey(seed)
+    k_init, k_proj, key = jax.random.split(key, 3)
+    s_params, s_state = SM.student_init(k_init, s_cfg)
+    if verbose:
+        n = SM.count_parameters(s_params)
+        print(f"Compact student parameters: {n:,} "
+              f"(compression vs 25M teacher: {25e6 / n:.2f}x)")
+
+    projectors, _ = create_feature_projectors(
+        k_proj, teacher_embed=t_cfg.embed_size, student_embed=s_cfg.embed_size,
+        student_hidden=s_cfg.hidden_size, student_seq_len=s_cfg.feature_tokens,
+        teacher_seq_len=t_cfg.num_tokens)
+
+    params = {"student": s_params, "projectors": projectors}
+    state = steps.TrainState(params, O.adamw_init(params), s_state)
+
+    steps_per_epoch = max(len(train_loader) // tr.accumulation_steps, 1)
+    total_opt_steps = steps_per_epoch * tr.num_epochs
+    # KDTrainConfig shim carrying the shared fields the step factory reads
+    from imagecaptioner_tpu.core.config import KDTrainConfig
+    shim = KDTrainConfig(learning_rate=tr.learning_rate,
+                         batch_size=tr.batch_size,
+                         accumulation_steps=tr.accumulation_steps,
+                         num_epochs=tr.num_epochs,
+                         weight_decay=tr.weight_decay,
+                         grad_clip=tr.grad_clip)
+    aug = T.AugmentConfig(
+        brightness=0.2, contrast=0.2, saturation=0.2, hue=0.1,
+        hflip_prob=0.5, rotation_deg=5.0, random_crop=True,
+        out_size=image_size)
+    train_step = steps.make_kd_train_step(
+        t_cfg, s_cfg, None, shim, aug=aug,
+        compute_dtype=compute_dtype, optimized=True, od_cfg=od_cfg,
+        onecycle_total_steps=total_opt_steps,
+        others_scale=tr.others_lr_scale, others_wd=tr.others_weight_decay)
+    eval_step = steps.make_kd_eval_step(
+        t_cfg, s_cfg, None, compute_dtype=compute_dtype, optimized=True,
+        od_cfg=od_cfg)
+
+    os.makedirs(output_dir, exist_ok=True)
+    vocab.save(os.path.join(output_dir, "vocab.json"))
+
+    stopper = common.EarlyStopping(tr.patience, mode="min")
+    train_losses, val_losses, val_bleu_scores, epoch_times = [], [], [], []
+    loss_components_history = defaultdict(list)
+    best_val = float("inf")
+    timer = common.Timer()
+    global_step = 0
+
+    def validate_fast(max_batches=15):
+        """validate_student_model_fast (:145-203)."""
+        losses, bleus, n = [], [], 0
+        for bi, batch in enumerate(val_loader):
+            if bi >= max_batches:
+                break
+            loss, _, preds = eval_step(state.params, state.model_state,
+                                       teacher_params, batch,
+                                       jnp.int32(epoch))
+            b = batch["images"].shape[0]
+            losses.append(float(loss) * b)
+            n += b
+            if bi == 0:
+                cap_tgt = batch["captions"][1:, :]
+                for i in range(min(2, preds.shape[1])):
+                    bleus.append(monitoring_bleu(
+                        np.asarray(preds[:, i]), cap_tgt[:, i], vocab))
+        return (sum(losses) / max(n, 1),
+                float(np.mean(bleus)) if bleus else 0.0)
+
+    def ckpt_tree(epoch, extra):
+        return dict(
+            epoch=epoch,
+            student_state_dict=dict(params=state.params["student"],
+                                    model_state=state.model_state),
+            projectors_state_dict=state.params["projectors"],
+            optimizer_state_dict=dict(step=state.opt_state.step,
+                                      mu=state.opt_state.mu,
+                                      nu=state.opt_state.nu),
+            scheduler_state_dict=dict(global_step=global_step),
+            vocab_size=vocab_size,
+            model_config=dict(embed_size=s_cfg.embed_size,
+                              hidden_size=s_cfg.hidden_size,
+                              num_layers=s_cfg.num_layers,
+                              dropout=s_cfg.dropout,
+                              use_attention_refinement=s_cfg.use_attention_refinement,
+                              model_type="compact"),
+            distillation_config=dict(alpha=od_cfg.alpha, beta=od_cfg.beta,
+                                     gamma=od_cfg.gamma,
+                                     temperature=od_cfg.temperature),
+            training_config=dict(learning_rate=tr.learning_rate,
+                                 batch_size=tr.batch_size,
+                                 accumulation_steps=tr.accumulation_steps,
+                                 num_epochs=tr.num_epochs),
+            **extra,
+        )
+
+    for epoch in range(tr.num_epochs):
+        ep_timer = common.Timer()
+        epoch_losses = []
+        epoch_components = defaultdict(float)
+        nb = 0
+        for idx, stacked in enumerate(
+                common.stacked_batches(train_loader, tr.accumulation_steps)):
+            if max_steps_per_epoch is not None and idx >= max_steps_per_epoch:
+                break
+            key, k_step = jax.random.split(key)
+            state, metrics = train_step(state, teacher_params, stacked,
+                                        jnp.float32(global_step),
+                                        jnp.int32(epoch), k_step)
+            global_step += 1
+            epoch_losses.append(float(metrics["total_loss"]))
+            for k in ("total_loss", "token_kd_loss", "feature_kd_loss",
+                      "hidden_kd_loss", "kd_loss", "hard_loss"):
+                epoch_components[k] += float(metrics[k])
+            nb += 1
+        avg_train = float(np.mean(epoch_losses)) if epoch_losses else float("nan")
+        train_losses.append(avg_train)
+        epoch_times.append(ep_timer.elapsed())
+        for k, v in epoch_components.items():
+            loss_components_history[k].append(v / max(nb, 1))
+
+        val_loss, val_bleu = validate_fast()
+        val_losses.append(val_loss)
+        val_bleu_scores.append(val_bleu)
+        if verbose:
+            print(f"Epoch {epoch+1}/{tr.num_epochs}: train {avg_train:.4f}, "
+                  f"val {val_loss:.4f}, BLEU {val_bleu:.4f}, "
+                  f"{epoch_times[-1]:.1f}s")
+
+        if stopper.update(val_loss):
+            best_val = val_loss
+            CKPT.save_checkpoint(
+                os.path.join(output_dir, "best_optimized_student_model.npz"),
+                ckpt_tree(epoch, dict(
+                    val_loss=val_loss, val_bleu=val_bleu,
+                    performance_metrics=dict(
+                        epoch_time=epoch_times[-1],
+                        total_time=timer.elapsed()))))
+        if stopper.should_stop:
+            if verbose:
+                print("Early stopping triggered")
+            break
+
+    total_time = timer.elapsed()
+    common.write_history(
+        os.path.join(output_dir, "optimized_training_history.json"),
+        dict(train_losses=train_losses, val_losses=val_losses,
+             val_bleu_scores=val_bleu_scores,
+             loss_components=dict(loss_components_history),
+             epoch_times=epoch_times, total_training_time=total_time,
+             avg_epoch_time=float(np.mean(epoch_times)) if epoch_times else 0.0,
+             hyperparameters=dict(
+                 learning_rate=tr.learning_rate, batch_size=tr.batch_size,
+                 alpha=od_cfg.alpha, beta=od_cfg.beta, gamma=od_cfg.gamma,
+                 temperature=od_cfg.temperature)))
+    if verbose:
+        print(f"Training completed in {total_time:.1f}s. "
+              f"Best validation loss: {best_val:.4f}")
+    return state, s_cfg, vocab
+
+
+def main():
+    ap = argparse.ArgumentParser(description="Optimized student KD training")
+    ap.add_argument("--data-root", default="data/flickr8k")
+    ap.add_argument("--captions-file", default=None)
+    ap.add_argument("--teacher-checkpoint",
+                    default="saved_models/best_teacher_model.npz")
+    ap.add_argument("--output-dir", default="saved_models")
+    ap.add_argument("--epochs", type=int, default=None)
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+    train_student_with_kd_optimized(
+        args.data_root, args.captions_file, args.teacher_checkpoint,
+        args.output_dir, num_epochs=args.epochs, seed=args.seed)
+
+
+if __name__ == "__main__":
+    main()

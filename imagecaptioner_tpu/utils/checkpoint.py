@@ -1,0 +1,92 @@
+"""Pytree checkpointing (npz + JSON structure), reference-schema compatible.
+
+The reference checkpoints are ``torch.save`` dicts (SURVEY §5.4):
+``{'epoch', 'model_state_dict'/'student_state_dict', 'projectors_state_dict',
+'optimizer_state_dict', 'scheduler_state_dict', 'val_loss'/'val_bleu',
+'vocab_size', 'model_config', 'distillation_config'}``.  This module saves
+arbitrary pytrees (nested dict/list with array/scalar/string leaves) under the
+same logical keys to a single ``.npz`` — portable, dependency-free, and
+mesh-agnostic (arrays are gathered to host before saving).
+
+A ``.pth`` converter for the torch reference lives in utils/torch_convert.py.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+from typing import Any, Dict, List, Tuple
+
+import jax
+import numpy as np
+
+_SENTINEL_NONE = "__none__"
+
+
+def _flatten(tree: Any, prefix: str, out: Dict[str, np.ndarray],
+             spec: Dict[str, Any]) -> Any:
+    """Returns a JSON-able structure mirror; arrays go to ``out``."""
+    if isinstance(tree, dict):
+        return {k: _flatten(v, f"{prefix}/{k}", out, spec)
+                for k, v in tree.items()}
+    if isinstance(tree, (list, tuple)):
+        kind = "tuple" if isinstance(tree, tuple) else "list"
+        return {"__seq__": kind,
+                "items": [_flatten(v, f"{prefix}/{i}", out, spec)
+                          for i, v in enumerate(tree)]}
+    if tree is None:
+        return _SENTINEL_NONE
+    if isinstance(tree, (str,)):
+        return {"__str__": tree}
+    if isinstance(tree, bool):
+        return {"__bool__": tree}
+    if isinstance(tree, int):
+        return {"__int__": tree}
+    if isinstance(tree, float):
+        return {"__float__": tree}
+    arr = np.asarray(jax.device_get(tree))
+    out[prefix] = arr
+    return {"__array__": prefix}
+
+
+def _unflatten(node: Any, arrays: Dict[str, np.ndarray]) -> Any:
+    if node == _SENTINEL_NONE:
+        return None
+    if isinstance(node, dict):
+        if "__seq__" in node:
+            items = [_unflatten(v, arrays) for v in node["items"]]
+            return tuple(items) if node["__seq__"] == "tuple" else items
+        if "__array__" in node:
+            return arrays[node["__array__"]]
+        if "__str__" in node:
+            return node["__str__"]
+        if "__bool__" in node:
+            return bool(node["__bool__"])
+        if "__int__" in node:
+            return int(node["__int__"])
+        if "__float__" in node:
+            return float(node["__float__"])
+        return {k: _unflatten(v, arrays) for k, v in node.items()}
+    raise ValueError(f"corrupt checkpoint node: {node!r}")
+
+
+def save_checkpoint(path: str, tree: Any) -> None:
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    arrays: Dict[str, np.ndarray] = {}
+    spec: Dict[str, Any] = {}
+    structure = _flatten(tree, "", arrays, spec)
+    arrays["__structure__"] = np.frombuffer(
+        json.dumps(structure).encode(), dtype=np.uint8)
+    # atomic-ish write
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        np.savez(f, **arrays)
+    os.replace(tmp, path)
+
+
+def load_checkpoint(path: str) -> Any:
+    with np.load(path, allow_pickle=False) as z:
+        arrays = {k: z[k] for k in z.files}
+    structure = json.loads(bytes(arrays.pop("__structure__")).decode())
+    return _unflatten(structure, arrays)

@@ -1,0 +1,54 @@
+#!/usr/bin/env python
+"""Optimized-training launcher (reference run_optimized_training.py semantics):
+device detection, prerequisite file checks, in-process call of the optimized
+trainer, performance summary."""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import traceback
+
+
+def main():
+    ap = argparse.ArgumentParser(description="Launch optimized KD training")
+    ap.add_argument("--data-root", default="data/flickr8k")
+    ap.add_argument("--captions-file", default=None)
+    ap.add_argument("--teacher-checkpoint",
+                    default="saved_models/best_teacher_model.npz")
+    ap.add_argument("--output-dir", default="saved_models")
+    ap.add_argument("--epochs", type=int, default=None)
+    args = ap.parse_args()
+    captions = args.captions_file or os.path.join(args.data_root,
+                                                  "captions_clean.csv")
+
+    import jax
+    devs = jax.devices()
+    print(f"Devices: {devs}")
+    print(f"Default backend: {jax.default_backend()}")
+
+    for path, what in [(args.teacher_checkpoint, "teacher checkpoint"),
+                       (captions, "captions CSV"),
+                       (os.path.join(args.data_root, "Images"), "Images dir")]:
+        if not os.path.exists(path):
+            print(f"Missing {what}: {path}")
+            sys.exit(1)
+
+    try:
+        from imagecaptioner_tpu.train.train_student_kd_optimized import (
+            train_student_with_kd_optimized)
+
+        state, s_cfg, vocab = train_student_with_kd_optimized(
+            args.data_root, captions, args.teacher_checkpoint,
+            args.output_dir, num_epochs=args.epochs)
+        print("\nExpected improvements vs the unoptimized trainer:")
+        print("  ~1.5-2x faster epochs, ~2x faster convergence,")
+        print("  ~3-4x student inference speedup vs teacher.")
+    except Exception:
+        traceback.print_exc()
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()

@@ -14,6 +14,12 @@ import jax  # noqa: E402
 if os.environ.get("IC_TPU_TESTS") != "1":
     jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: the suite is compile-dominated, this makes
+# repeat runs several times faster.
+_cache_dir = os.environ.get("IC_JAX_CACHE", "/tmp/ic_jax_cache")
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 import pytest  # noqa: E402
 
 

@@ -1,0 +1,175 @@
+"""End-to-end slice: teacher training -> KD -> optimized KD -> decode ->
+checkpoint round-trips, all on a tiny synthetic dataset (the reified
+test_kd_pipeline the reference README references but never shipped)."""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from imagecaptioner_tpu.core.config import (
+    KDTrainConfig, OptimizedKDTrainConfig, TeacherTrainConfig)
+from imagecaptioner_tpu.data.synthetic import make_synthetic_dataset
+from imagecaptioner_tpu.data import transforms as T
+from imagecaptioner_tpu.models import student as SM
+from imagecaptioner_tpu.ops import decode as D
+from imagecaptioner_tpu.utils import checkpoint as CKPT
+
+TINY_TEACHER = dict(embed_size=32, num_heads=4, num_decoder_layers=2,
+                    dropout=0.1, encoder_dim=24, encoder_depth=2,
+                    encoder_heads=3)
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory):
+    root = tmp_path_factory.mktemp("e2e")
+    data = root / "data"
+    data.mkdir()
+    make_synthetic_dataset(str(data), n_images=16, captions_per_image=2,
+                           image_size=64, seed=0)
+    return root
+
+
+@pytest.fixture(scope="module")
+def teacher_run(workdir):
+    from imagecaptioner_tpu.train.train_teacher import train
+
+    out = str(workdir / "saved_models")
+    state, t_cfg, vocab = train(
+        data_root=str(workdir / "data"),
+        output_dir=out,
+        train_cfg=TeacherTrainConfig(batch_size=8, accumulation_steps=2,
+                                     num_epochs=2, validate_every=1),
+        teacher_cfg_overrides=TINY_TEACHER,
+        image_size=64, max_caption_len=16, compute_dtype=jnp.float32,
+        max_steps_per_epoch=2, verbose=False)
+    return workdir, out, state, t_cfg, vocab
+
+
+def test_teacher_training_artifacts(teacher_run):
+    _, out, state, t_cfg, vocab = teacher_run
+    assert os.path.exists(f"{out}/best_teacher_model.npz")
+    assert os.path.exists(f"{out}/final_teacher_model.npz")
+    assert os.path.exists(f"{out}/vocab.json")
+    hist = json.load(open(f"{out}/training_history.json"))
+    assert len(hist["train_losses"]) == 2
+    assert all(np.isfinite(hist["train_losses"]))
+
+    ckpt = CKPT.load_checkpoint(f"{out}/best_teacher_model.npz")
+    assert set(ckpt) >= {"epoch", "model_state_dict", "optimizer_state_dict",
+                         "scheduler_state_dict", "val_loss", "vocab_size",
+                         "model_config"}
+    # round-trip equality of params
+    restored = ckpt["model_state_dict"]["params"]
+    orig_leaves = jax.tree.leaves(state.params)
+    # best was saved at an earlier epoch; just check structure + dtypes
+    assert len(jax.tree.leaves(restored)) == len(orig_leaves)
+
+
+def test_teacher_loss_decreases_on_overfit(workdir):
+    """Sanity: tiny teacher can fit 2 batches (loss strictly drops)."""
+    from imagecaptioner_tpu.train.train_teacher import train
+
+    out = str(workdir / "overfit")
+    state, t_cfg, vocab = train(
+        data_root=str(workdir / "data"), output_dir=out,
+        train_cfg=TeacherTrainConfig(batch_size=8, accumulation_steps=1,
+                                     num_epochs=6, validate_every=10,
+                                     learning_rate=3e-3),
+        teacher_cfg_overrides=TINY_TEACHER, image_size=64, max_caption_len=16,
+        compute_dtype=jnp.float32, max_steps_per_epoch=2, verbose=False)
+    hist = json.load(open(f"{out}/training_history.json"))
+    assert hist["train_losses"][-1] < hist["train_losses"][0]
+
+
+@pytest.fixture(scope="module")
+def kd_run(teacher_run):
+    from imagecaptioner_tpu.train.train_student_kd import train_student_with_kd
+
+    workdir, out, *_ = teacher_run
+    state, s_cfg, vocab = train_student_with_kd(
+        data_root=str(workdir / "data"),
+        teacher_checkpoint=f"{out}/best_teacher_model.npz",
+        output_dir=out,
+        train_cfg=KDTrainConfig(batch_size=8, accumulation_steps=2,
+                                num_epochs=1, validate_every=1),
+        image_size=64, max_caption_len=16, compute_dtype=jnp.float32,
+        max_steps_per_epoch=2, verbose=False)
+    return workdir, out, state, s_cfg, vocab
+
+
+def test_kd_training_artifacts(kd_run):
+    _, out, state, s_cfg, vocab = kd_run
+    assert os.path.exists(f"{out}/best_student_model.npz")
+    assert os.path.exists(f"{out}/final_student_model.npz")
+    hist = json.load(open(f"{out}/student_training_history.json"))
+    assert "loss_components" in hist and "val_bleu_scores" in hist
+    ckpt = CKPT.load_checkpoint(f"{out}/best_student_model.npz")
+    assert set(ckpt) >= {"epoch", "student_state_dict",
+                         "projectors_state_dict", "optimizer_state_dict",
+                         "val_loss", "val_bleu", "vocab_size", "model_config",
+                         "distillation_config"}
+    assert ckpt["distillation_config"]["alpha"] == 0.7
+    assert np.isfinite(ckpt["val_loss"])
+
+
+def test_kd_student_generates_captions(kd_run):
+    workdir, out, state, s_cfg, vocab = kd_run
+    ckpt = CKPT.load_checkpoint(f"{out}/best_student_model.npz")
+    params = jax.tree.map(jnp.asarray, ckpt["student_state_dict"]["params"])
+    mstate = jax.tree.map(jnp.asarray,
+                          ckpt["student_state_dict"]["model_state"])
+    rng = np.random.default_rng(0)
+    imgs_u8 = jnp.asarray(rng.integers(0, 255, (2, 64, 64, 3), dtype=np.uint8))
+    images = T.normalize(imgs_u8)
+    _, refined, _ = SM.encode_image(params, mstate, images, s_cfg, train=False)
+    toks = D.greedy_decode_student(params, refined, s_cfg, max_length=10)
+    assert toks.shape == (2, 10)
+    caption = D.tokens_to_caption(np.asarray(toks[0]), vocab)
+    assert isinstance(caption, str)
+
+
+def test_optimized_kd_training(teacher_run):
+    from imagecaptioner_tpu.train.train_student_kd_optimized import (
+        train_student_with_kd_optimized)
+
+    workdir, out, *_ = teacher_run
+    out2 = str(workdir / "opt_models")
+    state, s_cfg, vocab = train_student_with_kd_optimized(
+        data_root=str(workdir / "data"),
+        teacher_checkpoint=f"{out}/best_teacher_model.npz",
+        output_dir=out2,
+        train_cfg=OptimizedKDTrainConfig(batch_size=8, accumulation_steps=2,
+                                         num_epochs=2),
+        image_size=64, max_caption_len=16, compute_dtype=jnp.float32,
+        max_steps_per_epoch=2, verbose=False)
+    assert os.path.exists(f"{out2}/best_optimized_student_model.npz")
+    hist = json.load(open(f"{out2}/optimized_training_history.json"))
+    assert len(hist["epoch_times"]) == 2
+    assert "kd_loss" in hist["loss_components"]
+    ckpt = CKPT.load_checkpoint(f"{out2}/best_optimized_student_model.npz")
+    assert ckpt["model_config"]["model_type"] == "compact"
+    assert "training_config" in ckpt and "performance_metrics" in ckpt
+
+
+def test_checkpoint_roundtrip_exact():
+    tree = {
+        "a": jnp.arange(6, dtype=jnp.float32).reshape(2, 3),
+        "nested": {"b": [jnp.ones((2,)), jnp.zeros((3,), jnp.int32)],
+                   "t": (jnp.float32(1.5),)},
+        "none": None, "s": "hello", "n": 42, "f": 2.5, "flag": True,
+    }
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "ck.npz")
+        CKPT.save_checkpoint(path, tree)
+        got = CKPT.load_checkpoint(path)
+    np.testing.assert_array_equal(got["a"], np.asarray(tree["a"]))
+    assert isinstance(got["nested"]["b"], list)
+    assert isinstance(got["nested"]["t"], tuple)
+    assert got["none"] is None and got["s"] == "hello"
+    assert got["n"] == 42 and got["f"] == 2.5 and got["flag"] is True

@@ -61,8 +61,21 @@ def get_torch_baseline(quick: bool) -> float:
 
 
 def measure_jax(num_batches: int) -> float:
+    """Serving-style throughput: N DISTINCT pre-staged batches submitted
+    back-to-back, all token outputs fetched to host.
+
+    Measurement discipline for this TPU relay (learned the hard way):
+      * identical repeated calls get deduped upstream — every batch must be
+        distinct data;
+      * block_until_ready does not reliably wait here — jax.device_get of
+        the actual outputs is the only trustworthy sync.
+    """
     import jax
     import jax.numpy as jnp
+
+    from imagecaptioner_tpu.core.runtime import enable_compile_cache
+
+    enable_compile_cache()
 
     from imagecaptioner_tpu.core.config import full_student_config
     from imagecaptioner_tpu.models import student as SM
@@ -74,22 +87,23 @@ def measure_jax(num_batches: int) -> float:
     import imagecaptioner_tpu.core.precision as P
 
     params = P.bf16_compute(params)
-    images = jax.random.normal(jax.random.PRNGKey(1),
-                               (BATCH, 3, 224, 224), jnp.bfloat16)
+    batches = [
+        jax.random.normal(jax.random.PRNGKey(100 + i),
+                          (BATCH, 3, 224, 224), jnp.bfloat16)
+        for i in range(num_batches)
+    ]
 
     @jax.jit
-    def caption(params, state, images):
+    def caption(images):
         _, refined, _ = SM.encode_image(params, state, images, cfg,
                                         train=False)
         return D.greedy_decode_student(params, refined, cfg,
                                        max_length=MAX_LEN)
 
-    toks = caption(params, state, images)
-    jax.block_until_ready(toks)  # compile + warmup
+    _ = jax.device_get(caption(batches[0]))  # compile + warmup
     t0 = time.perf_counter()
-    for _ in range(num_batches):
-        toks = caption(params, state, images)
-    jax.block_until_ready(toks)
+    outs = [caption(x) for x in batches]
+    _ = [jax.device_get(o) for o in outs]
     dt = time.perf_counter() - t0
     return BATCH * num_batches / dt
 

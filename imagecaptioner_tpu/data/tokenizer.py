@@ -72,9 +72,37 @@ def _split_infix(chunk: str) -> List[str]:
     return [chunk]
 
 
-def tokenize(text: str) -> List[str]:
-    """Tokenize + lowercase, mirroring ``[t.text.lower() for t in spacy(...)]``."""
+def tokenize_py(text: str) -> List[str]:
+    """Pure-Python tokenize + lowercase, mirroring
+    ``[t.text.lower() for t in spacy(...)]``."""
     tokens: List[str] = []
     for chunk in str(text).split():
         tokens.extend(_split_chunk(chunk))
     return [t.lower() for t in tokens]
+
+
+_native_tokenize = None
+_native_checked = False
+
+
+def tokenize(text: str) -> List[str]:
+    """Tokenize + lowercase.  Uses the C++ tokenizer (native/tokenizer.cpp)
+    when built — token-identical by contract (fuzz-tested) — otherwise the
+    pure-Python implementation.  Set IC_NO_NATIVE=1 to force Python."""
+    global _native_tokenize, _native_checked
+    if not _native_checked:
+        _native_checked = True
+        import os
+
+        if os.environ.get("IC_NO_NATIVE") != "1":
+            try:
+                from imagecaptioner_tpu.native import (
+                    native_available, tokenize_native)
+
+                if native_available():
+                    _native_tokenize = tokenize_native
+            except Exception:
+                _native_tokenize = None
+    if _native_tokenize is not None:
+        return _native_tokenize(text)
+    return tokenize_py(text)

@@ -1,0 +1,79 @@
+"""Native (C++) runtime components, loaded via ctypes with Python fallback.
+
+``tokenize_native`` is a drop-in for data/tokenizer.tokenize — same tokens,
+~10-50x faster for vocab building over large caption CSVs.  The shared
+library builds on first use (g++ is in the image); if the toolchain or build
+fails, callers fall back to the pure-Python tokenizer transparently.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import List, Optional
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+_SRC = os.path.join(_REPO_ROOT, "native", "tokenizer.cpp")
+_SO = os.path.join(os.path.dirname(os.path.abspath(__file__)), "_tokenizer.so")
+
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(
+            ["g++", "-O2", "-shared", "-fPIC", "-o", _SO, _SRC],
+            check=True, capture_output=True, timeout=120)
+        return True
+    except Exception:
+        return False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if not os.path.exists(_SO) and os.path.exists(_SRC):
+            if not _build():
+                return None
+        try:
+            lib = ctypes.CDLL(_SO)
+            lib.ic_tokenize.argtypes = [ctypes.c_char_p, ctypes.c_char_p,
+                                        ctypes.c_int]
+            lib.ic_tokenize.restype = ctypes.c_int
+            _lib = lib
+        except OSError:
+            _lib = None
+        return _lib
+
+
+def native_available() -> bool:
+    return _load() is not None
+
+
+def tokenize_native(text: str) -> List[str]:
+    """C++ tokenizer; raises RuntimeError if the library is unavailable
+    (use data.tokenizer.tokenize for the auto-fallback path)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native tokenizer unavailable")
+    data = str(text).encode("utf-8", errors="replace")
+    cap = max(256, 2 * len(data) + 16)
+    buf = ctypes.create_string_buffer(cap)
+    n = lib.ic_tokenize(data, buf, cap)
+    if n < 0:  # buffer too small (pathological punctuation blowup)
+        cap *= 4
+        buf = ctypes.create_string_buffer(cap)
+        n = lib.ic_tokenize(data, buf, cap)
+        if n < 0:
+            raise RuntimeError("native tokenizer buffer overflow")
+    if n == 0:
+        return []
+    return buf.value.decode("utf-8", errors="replace").split("\n")

@@ -84,6 +84,7 @@ def train_student_with_kd(
     compute_dtype=jnp.bfloat16,
     seed: int = 0,
     max_steps_per_epoch: Optional[int] = None,
+    resume_from: Optional[str] = None,
     verbose: bool = True,
 ):
     tr = train_cfg or KDTrainConfig()
@@ -124,6 +125,25 @@ def train_student_with_kd(
 
     params = {"student": s_params, "projectors": projectors}
     state = steps.TrainState(params, O.adamw_init(params), s_state)
+    start_epoch = 0
+    if resume_from is not None:
+        ck = CKPT.load_checkpoint(resume_from)
+        params = {
+            "student": jax.tree.map(jnp.asarray,
+                                    ck["student_state_dict"]["params"]),
+            "projectors": jax.tree.map(jnp.asarray,
+                                       ck["projectors_state_dict"]),
+        }
+        opt = ck["optimizer_state_dict"]
+        state = steps.TrainState(
+            params,
+            O.AdamWState(step=jnp.asarray(opt["step"]),
+                         mu=jax.tree.map(jnp.asarray, opt["mu"]),
+                         nu=jax.tree.map(jnp.asarray, opt["nu"])),
+            jax.tree.map(jnp.asarray, ck["student_state_dict"]["model_state"]))
+        start_epoch = int(ck["epoch"]) + 1
+        if verbose:
+            print(f"Resumed from {resume_from} at epoch {start_epoch}")
     train_step = steps.make_kd_train_step(
         t_cfg, s_cfg, d_cfg, tr, compute_dtype=compute_dtype)
     eval_step = steps.make_kd_eval_step(
@@ -159,7 +179,7 @@ def train_student_with_kd(
             **extra,
         )
 
-    for epoch in range(tr.num_epochs):
+    for epoch in range(start_epoch, tr.num_epochs):
         epoch_losses = []
         epoch_components = defaultdict(float)
         nb = 0
@@ -243,10 +263,15 @@ def main():
     ap.add_argument("--output-dir", default="saved_models")
     ap.add_argument("--epochs", type=int, default=None)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--resume-from", default=None)
     args = ap.parse_args()
+    from imagecaptioner_tpu.core.runtime import enable_compile_cache
+
+    enable_compile_cache()
     train_student_with_kd(
         args.data_root, args.captions_file, args.teacher_checkpoint,
-        args.output_dir, num_epochs=args.epochs, seed=args.seed)
+        args.output_dir, num_epochs=args.epochs, seed=args.seed,
+        resume_from=args.resume_from)
 
 
 if __name__ == "__main__":

@@ -43,6 +43,7 @@ def train(
     compute_dtype=jnp.bfloat16,
     seed: int = 0,
     max_steps_per_epoch: Optional[int] = None,
+    resume_from: Optional[str] = None,
     verbose: bool = True,
 ):
     tr = train_cfg or TeacherTrainConfig()
@@ -75,6 +76,21 @@ def train(
         print(f"Total parameters: {TM.count_parameters(params):,}")
 
     state = steps.TrainState(params, O.adamw_init(params), {})
+    start_epoch = 0
+    if resume_from is not None:
+        # resumable training — a capability the reference lacks (SURVEY §5.3)
+        ck = CKPT.load_checkpoint(resume_from)
+        params = jax.tree.map(jnp.asarray, ck["model_state_dict"]["params"])
+        opt = ck["optimizer_state_dict"]
+        state = steps.TrainState(
+            params,
+            O.AdamWState(step=jnp.asarray(opt["step"]),
+                         mu=jax.tree.map(jnp.asarray, opt["mu"]),
+                         nu=jax.tree.map(jnp.asarray, opt["nu"])),
+            jax.tree.map(jnp.asarray, ck["model_state_dict"]["model_state"]))
+        start_epoch = int(ck["epoch"]) + 1
+        if verbose:
+            print(f"Resumed from {resume_from} at epoch {start_epoch}")
     train_step = steps.make_teacher_train_step(t_cfg, tr,
                                                compute_dtype=compute_dtype)
     eval_step = steps.make_teacher_eval_step(t_cfg, tr,
@@ -118,7 +134,7 @@ def train(
         )
 
     stopped = False
-    for epoch in range(tr.num_epochs):
+    for epoch in range(start_epoch, tr.num_epochs):
         epoch_losses = []
         for idx, stacked in enumerate(
                 common.stacked_batches(train_loader, tr.accumulation_steps)):
@@ -174,9 +190,14 @@ def main():
     ap.add_argument("--output-dir", default="saved_models")
     ap.add_argument("--epochs", type=int, default=None)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--resume-from", default=None)
     args = ap.parse_args()
+    from imagecaptioner_tpu.core.runtime import enable_compile_cache
+
+    enable_compile_cache()
     train(args.data_root, args.captions_file, args.output_dir,
-          num_epochs=args.epochs, seed=args.seed)
+          num_epochs=args.epochs, seed=args.seed,
+          resume_from=args.resume_from)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,98 @@
+"""Data-parallel correctness on the 8-device CPU mesh: the sharded jitted
+step must produce the same loss and parameter updates as unsharded."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from imagecaptioner_tpu.core import mesh as MS
+from imagecaptioner_tpu.core.config import (
+    DistillConfig, KDTrainConfig, TeacherConfig, compact_student_config)
+from imagecaptioner_tpu.distill.projector import create_feature_projectors
+from imagecaptioner_tpu.models import student as SM
+from imagecaptioner_tpu.models import teacher as TM
+from imagecaptioner_tpu.train import optim as O, steps
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
+                                reason="needs 8 devices")
+
+
+def _setup():
+    img = 32
+    t_cfg = TeacherConfig(vocab_size=40, embed_size=32, num_heads=4,
+                          num_decoder_layers=1, dropout=0.0, encoder_dim=24,
+                          encoder_depth=1, encoder_heads=3, image_size=img,
+                          patch_size=16)
+    s_cfg = compact_student_config(40, embed_size=16, hidden_size=16,
+                                   dropout=0.0, image_size=img)
+    tr = KDTrainConfig(batch_size=16, accumulation_steps=1, num_epochs=1)
+    key = jax.random.PRNGKey(0)
+    k1, k2, k3 = jax.random.split(key, 3)
+    teacher_params = TM.teacher_init(k1, t_cfg)
+    s_params, s_state = SM.student_init(k2, s_cfg)
+    projectors, _ = create_feature_projectors(
+        k3, teacher_embed=t_cfg.embed_size, student_embed=s_cfg.embed_size,
+        student_hidden=s_cfg.hidden_size, student_seq_len=s_cfg.feature_tokens,
+        teacher_seq_len=t_cfg.num_tokens)
+    params = {"student": s_params, "projectors": projectors}
+    state = steps.TrainState(params, O.adamw_init(params), s_state)
+    # no-augmentation config so sharded/unsharded see identical pixels
+    from imagecaptioner_tpu.data.transforms import AugmentConfig
+
+    step = steps.make_kd_train_step(
+        t_cfg, s_cfg, DistillConfig(), tr, aug=AugmentConfig(),
+        compute_dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    B, T = 16, 8
+    batch = {
+        "images": rng.integers(0, 255, (1, B, img, img, 3), dtype=np.uint8),
+        "captions": rng.integers(1, 40, (1, T, B)).astype(np.int32),
+        "lengths": np.full((1, B), T, np.int32),
+    }
+    return t_cfg, s_cfg, teacher_params, state, step, batch
+
+
+def test_dp_step_matches_single_device():
+    t_cfg, s_cfg, teacher_params, state, step, batch = _setup()
+    rng = jax.random.PRNGKey(5)
+
+    # single-device (replicated inputs)
+    new_state_1, metrics_1 = step(state, teacher_params, batch,
+                                  jnp.float32(0.0), jnp.int32(0), rng)
+    loss_1 = float(metrics_1["total_loss"])
+
+    # fresh state (donated buffers), sharded over 8-device mesh
+    t_cfg2, s_cfg2, teacher_params2, state2, step2, batch2 = _setup()
+    mesh = MS.create_mesh()
+    state2 = MS.replicate(mesh, state2)
+    teacher_params2 = MS.replicate(mesh, teacher_params2)
+    sharded = {
+        "images": jax.device_put(batch2["images"],
+                                 NamedSharding(mesh, P(None, "data"))),
+        "captions": jax.device_put(batch2["captions"],
+                                   NamedSharding(mesh, P(None, None, "data"))),
+        "lengths": jax.device_put(batch2["lengths"],
+                                  NamedSharding(mesh, P(None, "data"))),
+    }
+    new_state_8, metrics_8 = step2(state2, teacher_params2, sharded,
+                                   jnp.float32(0.0), jnp.int32(0), rng)
+    loss_8 = float(metrics_8["total_loss"])
+
+    assert abs(loss_1 - loss_8) < 1e-4, (loss_1, loss_8)
+    # parameter updates identical (DP grads reduce to the same mean)
+    l1 = jax.tree.leaves(new_state_1.params)
+    l8 = jax.tree.leaves(new_state_8.params)
+    worst = max(float(jnp.max(jnp.abs(a - jax.device_get(b))))
+                for a, b in zip(l1, l8))
+    assert worst < 1e-4, worst
+
+
+def test_shard_helpers_specs():
+    mesh = MS.create_mesh()
+    x = np.zeros((16, 4, 4, 3), np.float32)
+    sx = MS.shard_batch(mesh, x)
+    assert sx.sharding.spec == P("data", None, None, None)
+    tm = MS.shard_time_major(mesh, np.zeros((10, 16), np.int32))
+    assert tm.sharding.spec == P(None, "data")

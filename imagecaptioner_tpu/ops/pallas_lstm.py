@@ -94,10 +94,10 @@ def _kernel(emb_w_ref, f_proj_ref, feats_ref,
         scores = jnp.sum(jnp.tanh(f_proj.astype(jnp.float32)
                                   + hw[:, None, :]), axis=-1)  # (B, L)
         w = jax.nn.softmax(scores, axis=-1)                    # (B, L) f32
-        ctx = jax.lax.dot_general(
-            w.astype(feats.dtype), feats,
-            dimension_numbers=(((1,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)                # (B, E)
+        # batched (B,L)x(B,L,E) contraction as mul+reduce — Mosaic has no
+        # batch-dim dot, and L=49 makes this cheap VPU work
+        ctx = jnp.sum(w[:, :, None] * feats.astype(jnp.float32),
+                      axis=1)                                  # (B, E) f32
         # --- combine ---
         x0 = (emb_w_ref[t] .astype(jnp.float32)
               + jnp.dot(ctx.astype(w_c_ref.dtype), w_c_ref[:],

@@ -260,6 +260,24 @@ def beam_search_teacher(
     return fin_seqs[order], fin_scores[order], fin_lens[order]
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "max_length", "beam_size",
+                                             "length_penalty"))
+def beam_search_teacher_batched(
+    params: Dict, memory: jnp.ndarray, cfg: TeacherConfig, *,
+    max_length: int = 20, beam_size: int = 5, length_penalty: float = 0.6,
+):
+    """vmap of :func:`beam_search_teacher` over a batch of images.
+
+    memory (N, L, E) -> (seqs (N, K, S), scores (N, K), lens (N, K)).
+    All beam state is static-shape, so batching the whole search is a single
+    vmap — N independent beam searches run as one fused program (the
+    reference can only do one image at a time, evaluate_student.py:152)."""
+    fn = lambda m: beam_search_teacher(  # noqa: E731
+        params, m[None], cfg, max_length=max_length, beam_size=beam_size,
+        length_penalty=length_penalty)
+    return jax.vmap(fn)(memory)
+
+
 def _scatter_rows(buf, slot, rows, mask):
     """Scatter rows[i] -> buf[slot[i]] where mask[i]; slot==K drops."""
     K = buf.shape[0]

@@ -1,0 +1,39 @@
+"""Fused greedy-decode Pallas kernel vs the scan decode path."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from imagecaptioner_tpu.core.config import full_student_config
+from imagecaptioner_tpu.models import student as SM
+from imagecaptioner_tpu.ops import decode as D
+from imagecaptioner_tpu.ops.pallas_greedy import pallas_greedy_decode_student
+
+INTERPRET = os.environ.get("IC_TPU_TESTS") != "1"
+
+
+@pytest.mark.parametrize("V,E,H,B,Lf,T", [
+    (50, 16, 24, 2, 9, 8),
+    (300, 256, 512, 16, 49, 20),   # production dims
+])
+def test_pallas_greedy_matches_scan(V, E, H, B, Lf, T):
+    cfg = full_student_config(V, embed_size=E, hidden_size=H, dropout=0.0)
+    p, s = SM.student_init(jax.random.PRNGKey(0), cfg)
+    feats = jax.random.normal(jax.random.PRNGKey(1), (B, Lf, E)) * 0.3
+    ref = D.greedy_decode_student(p, feats, cfg, max_length=T)
+    got = pallas_greedy_decode_student(p, feats, cfg, max_length=T,
+                                       interpret=INTERPRET)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_pallas_greedy_temperature():
+    cfg = full_student_config(40, embed_size=16, hidden_size=24, dropout=0.0)
+    p, s = SM.student_init(jax.random.PRNGKey(2), cfg)
+    feats = jax.random.normal(jax.random.PRNGKey(3), (3, 7, 16))
+    ref = D.greedy_decode_student(p, feats, cfg, max_length=6, temperature=2.0)
+    got = pallas_greedy_decode_student(p, feats, cfg, max_length=6,
+                                       temperature=2.0, interpret=INTERPRET)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))

@@ -180,8 +180,7 @@ def train_student_with_kd(
         )
 
     for epoch in range(start_epoch, tr.num_epochs):
-        epoch_losses = []
-        epoch_components = defaultdict(float)
+        step_metrics = []  # device arrays; one host fetch per epoch
         nb = 0
         for idx, stacked in enumerate(
                 common.stacked_batches(train_loader, tr.accumulation_steps)):
@@ -191,14 +190,19 @@ def train_student_with_kd(
             key, k_step = jax.random.split(key)
             state, metrics = train_step(state, teacher_params, stacked,
                                         sched_t, jnp.int32(epoch), k_step)
-            epoch_losses.append(float(metrics["total_loss"]))
+            step_metrics.append(metrics)
+            nb += 1
+            if verbose and idx % 50 == 0:  # sync only at log boundaries
+                m = jax.device_get(metrics)
+                common.log_progress(epoch, idx, m, float(m["lr"]),
+                                    steps_per_epoch)
+        fetched = jax.device_get(step_metrics)
+        epoch_losses = [float(m["total_loss"]) for m in fetched]
+        epoch_components = defaultdict(float)
+        for m in fetched:
             for k in ("total_loss", "ce_loss", "token_kd_loss",
                       "feature_kd_loss", "hidden_kd_loss"):
-                epoch_components[k] += float(metrics[k])
-            nb += 1
-            if verbose:
-                common.log_progress(epoch, idx, metrics, float(metrics["lr"]),
-                                    steps_per_epoch)
+                epoch_components[k] += float(m[k])
         avg_train = float(np.mean(epoch_losses)) if epoch_losses else float("nan")
         train_losses.append(avg_train)
         for k, v in epoch_components.items():

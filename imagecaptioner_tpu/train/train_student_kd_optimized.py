@@ -173,8 +173,7 @@ def train_student_with_kd_optimized(
 
     for epoch in range(tr.num_epochs):
         ep_timer = common.Timer()
-        epoch_losses = []
-        epoch_components = defaultdict(float)
+        step_metrics = []  # device arrays; one host fetch per epoch
         nb = 0
         for idx, stacked in enumerate(
                 common.stacked_batches(train_loader, tr.accumulation_steps)):
@@ -185,11 +184,15 @@ def train_student_with_kd_optimized(
                                         jnp.float32(global_step),
                                         jnp.int32(epoch), k_step)
             global_step += 1
-            epoch_losses.append(float(metrics["total_loss"]))
+            step_metrics.append(metrics)
+            nb += 1
+        fetched = jax.device_get(step_metrics)
+        epoch_losses = [float(m["total_loss"]) for m in fetched]
+        epoch_components = defaultdict(float)
+        for m in fetched:
             for k in ("total_loss", "token_kd_loss", "feature_kd_loss",
                       "hidden_kd_loss", "kd_loss", "hard_loss"):
-                epoch_components[k] += float(metrics[k])
-            nb += 1
+                epoch_components[k] += float(m[k])
         avg_train = float(np.mean(epoch_losses)) if epoch_losses else float("nan")
         train_losses.append(avg_train)
         epoch_times.append(ep_timer.elapsed())

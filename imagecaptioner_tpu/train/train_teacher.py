@@ -135,7 +135,8 @@ def train(
 
     stopped = False
     for epoch in range(start_epoch, tr.num_epochs):
-        epoch_losses = []
+        epoch_losses = []  # device arrays; fetched once per epoch (no
+        # per-step host syncs — each one is a device round-trip)
         for idx, stacked in enumerate(
                 common.stacked_batches(train_loader, tr.accumulation_steps)):
             if max_steps_per_epoch is not None and idx >= max_steps_per_epoch:
@@ -143,7 +144,8 @@ def train(
             epoch_time = jnp.float32(epoch + idx / steps_per_epoch)
             key, k_step = jax.random.split(key)
             state, metrics = train_step(state, stacked, epoch_time, k_step)
-            epoch_losses.append(float(metrics["loss"]))
+            epoch_losses.append(metrics["loss"])
+        epoch_losses = [float(x) for x in jax.device_get(epoch_losses)]
         avg_train = float(np.mean(epoch_losses)) if epoch_losses else float("nan")
         train_losses.append(avg_train)
 

@@ -1,0 +1,267 @@
+#!/usr/bin/env python
+"""The five BASELINE.json benchmark configs as one runner (SURVEY §7 step 10).
+
+  1. compact-student greedy smoke, one 224x224 image, CPU
+  2. full-student batch-16 greedy inference (scan + fused-Pallas paths)
+  3. teacher beam search with 197-token memory
+  4. joint KD train step (a=0.7 KL T=4, b=0.2 feature, g=0.1 hidden, bf16)
+  5. short end-to-end KD run on a synthetic Flickr8k-shaped set with
+     BLEU/METEOR eval (full 30-epoch runs are a flag away)
+
+Emits benchmarks/results.json: per-config images/sec (or steps/sec), p50
+latency.  Timing discipline: distinct inputs per call, device_get sync
+(see bench.py).
+
+Usage: python -m benchmarks.run_all [--configs 1,2,3,4,5] [--epochs N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import tempfile
+import time
+
+
+def _timed_marginal(fn, make_input, n_small=4, n_large=16):
+    """Steady-state seconds/call: distinct inputs, device_get sync."""
+    import jax
+    import jax.numpy as jnp
+
+    gather = jax.jit(lambda *xs: jnp.stack(
+        [jnp.ravel(jnp.asarray(x))[0] for x in jax.tree.leaves(xs)]))
+
+    def run(n, offset):
+        ins = [make_input(offset + i) for i in range(n)]
+        _ = jax.device_get(fn(ins[0]))
+        t0 = time.perf_counter()
+        outs = [fn(x) for x in ins]
+        _ = jax.device_get(gather(*outs))
+        return time.perf_counter() - t0
+
+    d_small = run(n_small, 0)
+    d_large = run(n_large, 1000)
+    return max((d_large - d_small) / (n_large - n_small), 1e-9)
+
+
+def config_1():
+    """Compact-student greedy smoke on CPU (one image)."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")  # must run before backend init
+    return _config_compact_smoke()
+
+
+def _config_compact_smoke():
+    import jax
+    import jax.numpy as jnp
+
+    from imagecaptioner_tpu.core.config import compact_student_config
+    from imagecaptioner_tpu.models import student as SM
+    from imagecaptioner_tpu.ops import decode as D
+
+    cfg = compact_student_config(2994, embed_size=128, hidden_size=256)
+    params, state = SM.student_init(jax.random.PRNGKey(0), cfg)
+
+    @jax.jit
+    def caption(img):
+        _, refined, _ = SM.encode_image(params, state, img, cfg)
+        return D.greedy_decode_student(params, refined, cfg, max_length=20)
+
+    def mk(i):
+        return jax.random.normal(jax.random.PRNGKey(i), (1, 3, 224, 224))
+
+    per = _timed_marginal(caption, mk, n_small=2, n_large=6)
+    return {"name": "compact_student_greedy_smoke_cpu",
+            "p50_latency_s": per, "images_per_sec": 1.0 / per}
+
+
+def config_2():
+    import jax
+    import jax.numpy as jnp
+
+    from imagecaptioner_tpu.core import precision as P
+    from imagecaptioner_tpu.core.config import full_student_config
+    from imagecaptioner_tpu.models import student as SM
+    from imagecaptioner_tpu.ops import decode as D
+
+    cfg = full_student_config(2994, dropout=0.0)
+    params, state = SM.student_init(jax.random.PRNGKey(0), cfg)
+    params = P.bf16_compute(params)
+    on_tpu = jax.default_backend() != "cpu"
+
+    def mk(i):
+        return jax.random.normal(jax.random.PRNGKey(i), (16, 3, 224, 224),
+                                 jnp.bfloat16)
+
+    @jax.jit
+    def scan_path(img):
+        _, refined, _ = SM.encode_image(params, state, img, cfg)
+        return D.greedy_decode_student(params, refined, cfg, max_length=20)
+
+    per_scan = _timed_marginal(scan_path, mk)
+    out = {"name": "full_student_batch16_greedy",
+           "scan": {"p50_latency_s": per_scan,
+                    "images_per_sec": 16.0 / per_scan}}
+    if on_tpu:
+        from imagecaptioner_tpu.ops.pallas_greedy import (
+            pallas_greedy_decode_student)
+
+        @jax.jit
+        def pallas_path(img):
+            _, refined, _ = SM.encode_image(params, state, img, cfg)
+            return pallas_greedy_decode_student(params, refined, cfg,
+                                                max_length=20)
+
+        per_p = _timed_marginal(pallas_path, mk)
+        out["pallas"] = {"p50_latency_s": per_p,
+                         "images_per_sec": 16.0 / per_p}
+    return out
+
+
+def config_3():
+    import jax
+    import jax.numpy as jnp
+
+    from imagecaptioner_tpu.core import precision as P
+    from imagecaptioner_tpu.core.config import TeacherConfig
+    from imagecaptioner_tpu.models import teacher as TM
+    from imagecaptioner_tpu.ops import decode as D
+
+    cfg = TeacherConfig(vocab_size=2994)
+    params = P.bf16_compute(TM.teacher_init(jax.random.PRNGKey(0), cfg))
+
+    @jax.jit
+    def beam(img):
+        memory = TM.encode_image(params, img, cfg)
+        return D.beam_search_teacher(params, memory, cfg, max_length=20,
+                                     beam_size=5)[0]
+
+    def mk(i):
+        return jax.random.normal(jax.random.PRNGKey(i), (1, 3, 224, 224),
+                                 jnp.bfloat16)
+
+    per = _timed_marginal(beam, mk, n_small=2, n_large=8)
+    return {"name": "teacher_beam_search_197tok",
+            "p50_latency_s": per, "images_per_sec": 1.0 / per}
+
+
+def config_4():
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from imagecaptioner_tpu.core.config import (
+        DistillConfig, KDTrainConfig, TeacherConfig, full_student_config)
+    from imagecaptioner_tpu.distill.projector import create_feature_projectors
+    from imagecaptioner_tpu.models import student as SM
+    from imagecaptioner_tpu.models import teacher as TM
+    from imagecaptioner_tpu.train import optim as O, steps
+
+    t_cfg = TeacherConfig(vocab_size=2994)
+    s_cfg = full_student_config(2994)
+    tr = KDTrainConfig(batch_size=16, accumulation_steps=1)
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
+    teacher_params = TM.teacher_init(k1, t_cfg)
+    s_params, s_state = SM.student_init(k2, s_cfg)
+    projectors, _ = create_feature_projectors(
+        k3, teacher_embed=512, student_embed=256, student_hidden=512,
+        student_seq_len=49, teacher_seq_len=197)
+    params = {"student": s_params, "projectors": projectors}
+    state0 = steps.TrainState(params, O.adamw_init(params), s_state)
+    step = steps.make_kd_train_step(t_cfg, s_cfg, DistillConfig(), tr,
+                                    compute_dtype=jnp.bfloat16)
+    rng = np.random.default_rng(0)
+
+    # train state threads through; time N sequential steps
+    batches = []
+    for i in range(6):
+        batches.append({
+            "images": rng.integers(0, 255, (1, 16, 224, 224, 3),
+                                   dtype=np.uint8),
+            "captions": rng.integers(1, 2994, (1, 24, 16)).astype(np.int32),
+            "lengths": np.full((1, 16), 24, np.int32),
+        })
+    state = state0
+    state, m = step(state, teacher_params, batches[0], jnp.float32(0.0),
+                    jnp.int32(0), jax.random.PRNGKey(1))
+    _ = jax.device_get(m["total_loss"])  # compile+warmup
+    t0 = time.perf_counter()
+    for i, b in enumerate(batches[1:]):
+        state, m = step(state, teacher_params, b, jnp.float32(i * 1e-3),
+                        jnp.int32(0), jax.random.fold_in(jax.random.PRNGKey(2), i))
+    _ = jax.device_get(m["total_loss"])
+    per = (time.perf_counter() - t0) / (len(batches) - 1)
+    return {"name": "joint_kd_train_step_b16_bf16",
+            "p50_latency_s": per, "steps_per_sec": 1.0 / per,
+            "images_per_sec": 16.0 / per}
+
+
+def config_5(epochs: int):
+    import jax.numpy as jnp
+
+    from imagecaptioner_tpu.data.synthetic import make_synthetic_dataset
+    from imagecaptioner_tpu.train.train_teacher import train as train_teacher
+    from imagecaptioner_tpu.train.train_student_kd import train_student_with_kd
+    from imagecaptioner_tpu.core.config import KDTrainConfig, TeacherTrainConfig
+
+    tmp = tempfile.mkdtemp(prefix="bench_e2e_")
+    make_synthetic_dataset(tmp, n_images=64, captions_per_image=2,
+                           image_size=224, seed=0)
+    out = os.path.join(tmp, "saved_models")
+    t0 = time.perf_counter()
+    train_teacher(tmp, output_dir=out, num_epochs=1,
+                  train_cfg=TeacherTrainConfig(batch_size=12,
+                                               accumulation_steps=1,
+                                               num_epochs=1,
+                                               validate_every=1),
+                  compute_dtype=jnp.bfloat16, verbose=False)
+    t_teacher = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    train_student_with_kd(
+        tmp, teacher_checkpoint=f"{out}/best_teacher_model.npz",
+        output_dir=out, num_epochs=epochs,
+        train_cfg=KDTrainConfig(batch_size=16, accumulation_steps=2,
+                                num_epochs=epochs, validate_every=1),
+        compute_dtype=jnp.bfloat16, verbose=False)
+    t_kd = time.perf_counter() - t0
+    hist = json.load(open(f"{out}/student_training_history.json"))
+    return {"name": "end_to_end_kd_run",
+            "teacher_epoch_s": t_teacher, "kd_total_s": t_kd,
+            "kd_s_per_epoch": t_kd / max(epochs, 1),
+            "final_val_bleu": hist["val_bleu_scores"][-1]
+            if hist["val_bleu_scores"] else None}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--configs", default="2,3,4")
+    ap.add_argument("--epochs", type=int, default=1)
+    ap.add_argument("--output", default="benchmarks/results.json")
+    args = ap.parse_args()
+
+    from imagecaptioner_tpu.core.runtime import enable_compile_cache
+
+    enable_compile_cache()
+    wanted = {int(x) for x in args.configs.split(",")}
+    results = {}
+    for i, fn in [(1, config_1), (2, config_2), (3, config_3),
+                  (4, config_4)]:
+        if i in wanted:
+            print(f"running config {i}...")
+            results[str(i)] = fn()
+            print(json.dumps(results[str(i)]))
+    if 5 in wanted:
+        print("running config 5...")
+        results["5"] = config_5(args.epochs)
+        print(json.dumps(results["5"]))
+    os.makedirs(os.path.dirname(args.output), exist_ok=True)
+    with open(args.output, "w") as f:
+        json.dump(results, f, indent=2)
+    print(f"results -> {args.output}")
+
+
+if __name__ == "__main__":
+    main()

@@ -104,6 +104,47 @@ class BatchLoader:
             yield item
 
 
+def device_prefetch(iterator, *, mesh=None, size: int = 2):
+    """Double-buffer batches onto the device(s) ahead of consumption so host
+    decode + H2D transfer overlap device compute (grain-style; SURVEY §2.9 N8).
+
+    With a mesh, images/lengths shard over ``data`` and captions shard
+    time-major; otherwise plain ``device_put``.
+    """
+    import collections
+
+    import jax
+
+    from imagecaptioner_tpu.core import mesh as MS
+
+    def put(batch):
+        if mesh is None:
+            return jax.tree.map(jax.device_put, batch)
+        out = dict(batch)
+        ndim_im = batch["images"].ndim
+        out["images"] = jax.device_put(
+            batch["images"],
+            MS.data_sharding(mesh, ndim_im) if ndim_im <= 4 else None)
+        out["captions"] = MS.shard_time_major(mesh, batch["captions"])
+        out["lengths"] = MS.shard_batch(mesh, batch["lengths"])
+        return out
+
+    buf = collections.deque()
+    it = iter(iterator)
+    try:
+        for _ in range(size):
+            buf.append(put(next(it)))
+    except StopIteration:
+        pass
+    while buf:
+        out = buf.popleft()
+        try:
+            buf.append(put(next(it)))
+        except StopIteration:
+            pass
+        yield out
+
+
 def get_loader(
     root_folder: str,
     annotation_file: str = "data/flickr8k/captions_clean.csv",

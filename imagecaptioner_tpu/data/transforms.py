@@ -16,8 +16,6 @@ Reference transform stacks being reproduced:
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Optional, Tuple
-
 import jax
 import jax.numpy as jnp
 

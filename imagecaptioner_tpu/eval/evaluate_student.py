@@ -132,6 +132,38 @@ class StudentEvaluator:
         return {"student": agg("student"), "teacher": agg("teacher"),
                 "num_samples": n, "comparisons": comparisons[:20]}
 
+    def evaluate_single_image_comparison(self, dataset, index: int, *,
+                                         save_figure: Optional[str] = None
+                                         ) -> Dict:
+        """Side-by-side teacher/student captions for one image; optional
+        matplotlib figure (evaluate_student.py:203-270, headless save)."""
+        img_u8, cap_ids = dataset[index]
+        image = T.normalize(jnp.asarray(img_u8)[None])
+        ref = " ".join(self.vocab.decode(cap_ids))
+        s_cap = self.student_caption(image)
+        t_cap = self.teacher_caption(image)
+        result = {"reference": ref, "student": s_cap, "teacher": t_cap,
+                  "student_bleu1": MET.bleu_n(s_cap.lower().split(),
+                                              ref.lower().split(), 1),
+                  "teacher_bleu1": MET.bleu_n(t_cap.lower().split(),
+                                              ref.lower().split(), 1)}
+        if save_figure:
+            import matplotlib
+
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+
+            fig, ax = plt.subplots(figsize=(6, 8))
+            ax.imshow(img_u8)
+            ax.axis("off")
+            ax.set_title(
+                f"Teacher: {t_cap}\nStudent: {s_cap}\nReference: {ref}",
+                fontsize=9, wrap=True)
+            fig.savefig(save_figure, bbox_inches="tight", dpi=100)
+            plt.close(fig)
+            result["figure"] = save_figure
+        return result
+
     # -- report (evaluate_student.py:272-378) ---------------------------------
 
     def generate_comparison_report(

@@ -95,6 +95,35 @@ class CaptionEvaluator:
             ],
         }
 
+    def evaluate_single_image(self, dataset, index: int, *,
+                              save_figure: Optional[str] = None) -> Dict:
+        """Caption one dataset image; optionally save a matplotlib figure
+        (evaluate_teacher.py:150-185 — headless: saves instead of plt.show)."""
+        img_u8, cap_ids = dataset[index]
+        image = T.normalize(jnp.asarray(img_u8)[None])
+        pred = self.caption_image(image)[0]
+        ref = " ".join(self.vocab.decode(cap_ids))
+        result = {
+            "generated": pred, "reference": ref,
+            "bleu1": self.bleu_score(pred, ref, 1),
+            "meteor": self.meteor_score_simple(pred, ref),
+        }
+        if save_figure:
+            import matplotlib
+
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+
+            fig, ax = plt.subplots(figsize=(6, 7))
+            ax.imshow(img_u8)
+            ax.axis("off")
+            ax.set_title(f"Generated: {pred}\nReference: {ref}", fontsize=9,
+                         wrap=True)
+            fig.savefig(save_figure, bbox_inches="tight", dpi=100)
+            plt.close(fig)
+            result["figure"] = save_figure
+        return result
+
     def generate_report(self, dataset, output_path: str = "evaluation_report.json",
                         **kw) -> Dict:
         report = self.evaluate_on_dataset(dataset, **kw)

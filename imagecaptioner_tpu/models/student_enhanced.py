@@ -19,7 +19,7 @@ Reference bugs fixed (the model is advertised but never trained — SURVEY §2.5
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -13,7 +13,7 @@ Param tree mirrors timm naming (``patch_embed.proj``, ``blocks.i.attn.qkv``,
 from __future__ import annotations
 
 import math
-from typing import Dict, Optional, Tuple
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp

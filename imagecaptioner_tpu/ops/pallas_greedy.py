@@ -21,7 +21,7 @@ tests/test_pallas_greedy.py.
 from __future__ import annotations
 
 import functools
-from typing import Dict, Tuple
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

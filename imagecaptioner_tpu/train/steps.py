@@ -24,8 +24,8 @@ import jax
 import jax.numpy as jnp
 
 from imagecaptioner_tpu.core.config import (
-    DistillConfig, KDTrainConfig, OptimizedDistillConfig,
-    OptimizedKDTrainConfig, StudentConfig, TeacherConfig, TeacherTrainConfig)
+    DistillConfig, KDTrainConfig, OptimizedDistillConfig, StudentConfig,
+    TeacherConfig, TeacherTrainConfig)
 from imagecaptioner_tpu.data import transforms as T
 from imagecaptioner_tpu.distill import losses as DL
 from imagecaptioner_tpu.distill.projector import feature_projector_apply

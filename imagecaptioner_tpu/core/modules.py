@@ -84,12 +84,17 @@ def linear_init(key, in_features: int, out_features: int, bias: bool = True) -> 
 def dense(p: Params, x: jnp.ndarray, *, compute_dtype=None) -> jnp.ndarray:
     """``x @ W.T + b`` with f32 MXU accumulation.
 
-    ``x``: (..., in).  Weight stored torch-layout (out, in).
+    ``x``: (..., in).  Weight stored torch-layout (out, in).  The activation
+    dtype is the compute dtype: fp32 params ride along as bf16 when the
+    activations are bf16 (the core of the precision policy — params stay
+    fp32 in HBM, matmuls run bf16 on the MXU).
     """
     w = p["weight"]
     if compute_dtype is not None:
         x = x.astype(compute_dtype)
         w = w.astype(compute_dtype)
+    elif w.dtype != x.dtype:
+        w = w.astype(x.dtype)
     y = jax.lax.dot_general(
         x, w,
         dimension_numbers=(((x.ndim - 1,), (1,)), ((), ())),
@@ -204,7 +209,7 @@ def multi_head_attention(
 
     def proj(x, w, b):
         y = jax.lax.dot_general(
-            x, w, dimension_numbers=(((2,), (1,)), ((), ())),
+            x, w.astype(x.dtype), dimension_numbers=(((2,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
         if b is not None:
             y = y + b
@@ -263,18 +268,21 @@ def conv2d(
     if compute_dtype is not None:
         x = x.astype(compute_dtype)
         w = w.astype(compute_dtype)
+    elif w.dtype != x.dtype:
+        w = w.astype(x.dtype)  # activation dtype = compute dtype
     # OIHW -> HWIO
     w = jnp.transpose(w, (2, 3, 1, 0))
+    # no preferred_element_type: its conv VJP rejects bf16 inputs, and the
+    # TPU MXU accumulates bf16 convs in f32 internally regardless
     y = jax.lax.conv_general_dilated(
         x, w,
         window_strides=(stride, stride),
         padding=[(padding, padding), (padding, padding)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=groups,
-        preferred_element_type=jnp.float32,
     )
     if "bias" in p:
-        y = y + p["bias"].astype(jnp.float32)
+        y = y + p["bias"].astype(y.dtype)
     return y.astype(x.dtype)
 
 

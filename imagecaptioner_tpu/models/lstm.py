@@ -58,9 +58,12 @@ def lstm_cell(p: Params, x: jnp.ndarray, h: jnp.ndarray, c: jnp.ndarray
               ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """One torch-semantics LSTM cell step. x (B, in), h/c (B, H)."""
     gates = (
-        jax.lax.dot_general(x, p["weight_ih"], (((1,), (1,)), ((), ())),
+        jax.lax.dot_general(x, p["weight_ih"].astype(x.dtype),
+                            (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32)
-        + jax.lax.dot_general(h, p["weight_hh"], (((1,), (1,)), ((), ())),
+        + jax.lax.dot_general(h.astype(x.dtype),
+                              p["weight_hh"].astype(x.dtype),
+                              (((1,), (1,)), ((), ())),
                               preferred_element_type=jnp.float32)
         + p["bias_ih"] + p["bias_hh"]
     )

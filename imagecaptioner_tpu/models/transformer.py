@@ -111,7 +111,8 @@ def _proj_qkv(p_mha, x):
     b_q, b_k, b_v = jnp.split(p_mha["in_proj_bias"], 3, axis=0)
 
     def d(w, b):
-        return (jax.lax.dot_general(x, w, (((2,), (1,)), ((), ())),
+        return (jax.lax.dot_general(x, w.astype(x.dtype),
+                                    (((2,), (1,)), ((), ())),
                                     preferred_element_type=jnp.float32)
                 + b).astype(x.dtype)
 

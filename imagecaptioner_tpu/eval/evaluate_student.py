@@ -46,8 +46,8 @@ class StudentEvaluator:
     def student_caption(self, image_nchw, *, max_length=20) -> str:
         _, refined, _ = SM.encode_image(self.student_params, self.student_state,
                                         image_nchw, self.s_cfg, train=False)
-        toks = D.greedy_decode_student(self.student_params, refined,
-                                       self.s_cfg, max_length=max_length)
+        toks = D.best_greedy_decode_student(self.student_params, refined,
+                                            self.s_cfg, max_length=max_length)
         return D.tokens_to_caption(np.asarray(toks[0]), self.vocab)
 
     def teacher_caption(self, image_nchw, *, max_length=20, beam_size=5) -> str:

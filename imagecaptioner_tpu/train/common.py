@@ -10,20 +10,78 @@ from typing import Dict, Iterator, List, Optional
 import numpy as np
 
 
-def stacked_batches(loader, accumulation_steps: int) -> Iterator[Dict]:
+def stacked_batches(loader, accumulation_steps: int, *, mesh=None,
+                    prefetch: int = 2) -> Iterator[Dict]:
     """Group loader batches into stacks of ``A`` for in-step accumulation.
 
     Trailing incomplete groups are dropped — equivalent to the reference,
     which only steps the optimizer on accumulation boundaries.
+
+    With a ``mesh``, stacks are device-prefetched with the batch dimension
+    sharded over the ``data`` axis (data parallelism; no-op on one chip).
     """
-    buf: List[Dict] = []
-    for batch in loader:
-        buf.append(batch)
-        if len(buf) == accumulation_steps:
-            yield {
-                k: np.stack([b[k] for b in buf]) for k in buf[0]
-            }
-            buf = []
+    def gen():
+        buf: List[Dict] = []
+        for batch in loader:
+            buf.append(batch)
+            if len(buf) == accumulation_steps:
+                yield {
+                    k: np.stack([b[k] for b in buf]) for k in buf[0]
+                }
+                buf = []
+
+    if mesh is None:
+        yield from gen()
+        return
+
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    def put(stk):
+        return {
+            "images": jax.device_put(
+                stk["images"], NamedSharding(mesh, P(None, "data"))),
+            "captions": jax.device_put(
+                stk["captions"], NamedSharding(mesh, P(None, None, "data"))),
+            "lengths": jax.device_put(
+                stk["lengths"], NamedSharding(mesh, P(None, "data"))),
+        }
+
+    import collections
+
+    buf2 = collections.deque()
+    it = gen()
+    try:
+        for _ in range(prefetch):
+            buf2.append(put(next(it)))
+    except StopIteration:
+        pass
+    while buf2:
+        out = buf2.popleft()
+        try:
+            buf2.append(put(next(it)))
+        except StopIteration:
+            pass
+        yield out
+
+
+def maybe_mesh(batch_size: int, enabled: bool = True):
+    """A (data, model) mesh over all devices when DP is applicable: more than
+    one device and the batch divides the data axis.  None otherwise (the
+    jitted steps are mesh-agnostic either way)."""
+    if not enabled:
+        return None
+    import jax
+
+    n = len(jax.devices())
+    if n > 1 and batch_size % n == 0:
+        from imagecaptioner_tpu.core import mesh as MS
+
+        return MS.create_mesh()
+    if n > 1:
+        print(f"[dp] batch size {batch_size} not divisible by {n} devices — "
+              "running replicated")
+    return None
 
 
 class EarlyStopping:

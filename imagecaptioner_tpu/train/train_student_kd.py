@@ -85,6 +85,7 @@ def train_student_with_kd(
     seed: int = 0,
     max_steps_per_epoch: Optional[int] = None,
     resume_from: Optional[str] = None,
+    data_parallel: bool = True,
     verbose: bool = True,
 ):
     tr = train_cfg or KDTrainConfig()
@@ -149,6 +150,15 @@ def train_student_with_kd(
     eval_step = steps.make_kd_eval_step(
         t_cfg, s_cfg, d_cfg, compute_dtype=compute_dtype)
 
+    mesh = common.maybe_mesh(tr.batch_size, data_parallel)
+    if mesh is not None:
+        from imagecaptioner_tpu.core import mesh as MS
+
+        state = MS.replicate(mesh, state)
+        teacher_params = MS.replicate(mesh, teacher_params)
+        if verbose:
+            print(f"[dp] training over {mesh}")
+
     os.makedirs(output_dir, exist_ok=True)
     vocab.save(os.path.join(output_dir, "vocab.json"))
 
@@ -183,7 +193,8 @@ def train_student_with_kd(
         step_metrics = []  # device arrays; one host fetch per epoch
         nb = 0
         for idx, stacked in enumerate(
-                common.stacked_batches(train_loader, tr.accumulation_steps)):
+                common.stacked_batches(train_loader, tr.accumulation_steps,
+                                       mesh=mesh)):
             if max_steps_per_epoch is not None and idx >= max_steps_per_epoch:
                 break
             sched_t = jnp.float32(epoch + idx / steps_per_epoch)

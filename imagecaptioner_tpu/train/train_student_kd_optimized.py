@@ -50,6 +50,7 @@ def train_student_with_kd_optimized(
     compute_dtype=jnp.bfloat16,
     seed: int = 0,
     max_steps_per_epoch: Optional[int] = None,
+    data_parallel: bool = True,
     verbose: bool = True,
 ):
     tr = train_cfg or OptimizedKDTrainConfig()
@@ -114,6 +115,15 @@ def train_student_with_kd_optimized(
         t_cfg, s_cfg, None, compute_dtype=compute_dtype, optimized=True,
         od_cfg=od_cfg)
 
+    mesh = common.maybe_mesh(tr.batch_size, data_parallel)
+    if mesh is not None:
+        from imagecaptioner_tpu.core import mesh as MS
+
+        state = MS.replicate(mesh, state)
+        teacher_params = MS.replicate(mesh, teacher_params)
+        if verbose:
+            print(f"[dp] training over {mesh}")
+
     os.makedirs(output_dir, exist_ok=True)
     vocab.save(os.path.join(output_dir, "vocab.json"))
 
@@ -176,7 +186,8 @@ def train_student_with_kd_optimized(
         step_metrics = []  # device arrays; one host fetch per epoch
         nb = 0
         for idx, stacked in enumerate(
-                common.stacked_batches(train_loader, tr.accumulation_steps)):
+                common.stacked_batches(train_loader, tr.accumulation_steps,
+                                       mesh=mesh)):
             if max_steps_per_epoch is not None and idx >= max_steps_per_epoch:
                 break
             key, k_step = jax.random.split(key)

@@ -44,6 +44,7 @@ def train(
     seed: int = 0,
     max_steps_per_epoch: Optional[int] = None,
     resume_from: Optional[str] = None,
+    data_parallel: bool = True,
     verbose: bool = True,
 ):
     tr = train_cfg or TeacherTrainConfig()
@@ -96,6 +97,14 @@ def train(
     eval_step = steps.make_teacher_eval_step(t_cfg, tr,
                                              compute_dtype=compute_dtype)
 
+    mesh = common.maybe_mesh(tr.batch_size, data_parallel)
+    if mesh is not None:
+        from imagecaptioner_tpu.core import mesh as MS
+
+        state = MS.replicate(mesh, state)
+        if verbose:
+            print(f"[dp] training over {mesh}")
+
     os.makedirs(output_dir, exist_ok=True)
     vocab.save(os.path.join(output_dir, "vocab.json"))
 
@@ -138,7 +147,8 @@ def train(
         epoch_losses = []  # device arrays; fetched once per epoch (no
         # per-step host syncs — each one is a device round-trip)
         for idx, stacked in enumerate(
-                common.stacked_batches(train_loader, tr.accumulation_steps)):
+                common.stacked_batches(train_loader, tr.accumulation_steps,
+                                       mesh=mesh)):
             if max_steps_per_epoch is not None and idx >= max_steps_per_epoch:
                 break
             epoch_time = jnp.float32(epoch + idx / steps_per_epoch)

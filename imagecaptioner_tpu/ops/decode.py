@@ -101,15 +101,22 @@ def best_greedy_decode_student(params, feats, cfg: StudentConfig, *,
     """Greedy decode with the fastest available implementation: the fused
     Pallas kernel on TPU for the 2-layer full student (argmax path), the
     lax.scan path otherwise.  Token-identical by test contract."""
-    if (rng is None and cfg.variant == "full" and cfg.num_layers == 2
-            and jax.default_backend() not in ("cpu",)):
+    if rng is None and jax.default_backend() not in ("cpu",):
         try:
-            from imagecaptioner_tpu.ops.pallas_greedy import (
-                pallas_greedy_decode_student)
+            if cfg.variant == "full" and cfg.num_layers == 2:
+                from imagecaptioner_tpu.ops.pallas_greedy import (
+                    pallas_greedy_decode_student)
 
-            return pallas_greedy_decode_student(
-                params, feats, cfg, max_length=max_length,
-                temperature=temperature)
+                return pallas_greedy_decode_student(
+                    params, feats, cfg, max_length=max_length,
+                    temperature=temperature)
+            if cfg.variant == "compact" and cfg.num_layers == 1:
+                from imagecaptioner_tpu.ops.pallas_greedy import (
+                    pallas_greedy_decode_compact)
+
+                return pallas_greedy_decode_compact(
+                    params, feats, cfg, max_length=max_length,
+                    temperature=temperature)
         except Exception:
             pass  # fall back to the scan path
     return greedy_decode_student(params, feats, cfg, max_length=max_length,

@@ -124,6 +124,115 @@ def _make_kernel(T: int, temperature: float):
     return kernel
 
 
+def _make_compact_kernel(T: int, temperature: float):
+    """Compact-student variant: dot-product attention, additive fusion,
+    1-layer LSTM, plain linear head (student_model_compact.py:114-191)."""
+
+    def kernel(emb_table_ref, feats_ref,
+               w_attn_ref, b_attn_ref,
+               w_ih_ref, w_hh_ref, b_ref,
+               out_w_ref, out_b_ref,
+               out_ref,
+               h_s, c_s, tok_s, done_s, out_s):
+        B = feats_ref.shape[0]
+        V = emb_table_ref.shape[0]
+        Tp = out_s.shape[1]
+
+        h_s[:] = jnp.zeros_like(h_s)
+        c_s[:] = jnp.zeros_like(c_s)
+        tok_s[:] = jnp.full_like(tok_s, START)
+        done_s[:] = jnp.zeros_like(done_s)
+        out_s[:] = jnp.full_like(out_s, PAD)
+
+        feats = feats_ref[:]
+        vocab_ids = jax.lax.broadcasted_iota(jnp.int32, (B, V), 1)
+        col_ids = jax.lax.broadcasted_iota(jnp.int32, (B, Tp), 1)
+
+        def step(t, _):
+            tok = tok_s[:]
+            done = done_s[:]
+            one_hot = (vocab_ids == tok).astype(emb_table_ref.dtype)
+            emb = jnp.dot(one_hot, emb_table_ref[:],
+                          preferred_element_type=jnp.float32)
+            h = h_s[:]
+            h_proj = (jnp.dot(h.astype(w_attn_ref.dtype), w_attn_ref[:],
+                              preferred_element_type=jnp.float32)
+                      + b_attn_ref[:])                          # (B, E)
+            scores = jnp.sum(h_proj[:, None, :]
+                             * feats.astype(jnp.float32), axis=-1)
+            w = jax.nn.softmax(scores, axis=-1)
+            ctx = jnp.sum(w[:, :, None] * feats.astype(jnp.float32), axis=1)
+            x0 = (emb + ctx).astype(feats.dtype)                # add fusion
+            gates = (jnp.dot(x0, w_ih_ref[:],
+                             preferred_element_type=jnp.float32)
+                     + jnp.dot(h.astype(x0.dtype), w_hh_ref[:],
+                               preferred_element_type=jnp.float32)
+                     + b_ref[:])
+            i, f, g, o = jnp.split(gates, 4, axis=-1)
+            c_new = jax.nn.sigmoid(f) * c_s[:] + jax.nn.sigmoid(i) * jnp.tanh(g)
+            h_new = jax.nn.sigmoid(o) * jnp.tanh(c_new)
+            h_s[:] = h_new
+            c_s[:] = c_new
+            logits = (jnp.dot(h_new.astype(out_w_ref.dtype), out_w_ref[:],
+                              preferred_element_type=jnp.float32)
+                      + out_b_ref[:])
+            if temperature != 1.0:
+                logits = logits / temperature
+            nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)[:, None]
+            is_end = (nxt == END).astype(jnp.int32)
+            emit = jnp.where((done + is_end) > 0,
+                             jnp.full_like(nxt, PAD), nxt)
+            done_new = jnp.minimum(done + is_end, 1)
+            tok_s[:] = jnp.where(done_new > 0, tok, nxt)
+            done_s[:] = done_new
+            out_s[:] = jnp.where(col_ids == t, emit, out_s[:])
+            return ()
+
+        jax.lax.fori_loop(0, T, step, ())
+        out_ref[:] = out_s[:, :T]
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "max_length",
+                                             "temperature", "interpret"))
+def pallas_greedy_decode_compact(
+    params: Dict, feats: jnp.ndarray, cfg: StudentConfig, *,
+    max_length: int = 20, temperature: float = 1.0, interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused greedy decode for the compact (1-layer) student."""
+    if cfg.num_layers != 1:
+        raise ValueError("compact greedy kernel supports 1-layer LSTM")
+    B, L, E = feats.shape
+    H = cfg.hidden_size
+    dtype = feats.dtype
+    p = params["decoder"]
+    l0 = p["lstm"][0]
+    operands = [
+        p["embedding"]["weight"].astype(dtype), feats,
+        p["attention"]["weight"].T.astype(dtype),
+        p["attention"]["bias"].astype(jnp.float32)[None, :],
+        l0["weight_ih"].T.astype(dtype), l0["weight_hh"].T.astype(dtype),
+        (l0["bias_ih"] + l0["bias_hh"]).astype(jnp.float32)[None, :],
+        p["output_projection"]["weight"].T.astype(dtype),
+        p["output_projection"]["bias"].astype(jnp.float32)[None, :],
+    ]
+    return pl.pallas_call(
+        _make_compact_kernel(max_length, temperature),
+        out_shape=jax.ShapeDtypeStruct((B, max_length), jnp.int32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * len(operands),
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((B, H), jnp.float32),
+            pltpu.VMEM((B, H), jnp.float32),
+            pltpu.VMEM((B, 1), jnp.int32),
+            pltpu.VMEM((B, 1), jnp.int32),
+            pltpu.VMEM((B, max(128, max_length)), jnp.int32),
+        ],
+        interpret=interpret,
+    )(*operands)
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "max_length",
                                              "temperature", "interpret"))
 def pallas_greedy_decode_student(

@@ -29,6 +29,24 @@ def test_pallas_greedy_matches_scan(V, E, H, B, Lf, T):
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
 
 
+@pytest.mark.parametrize("V,E,H,B,Lf,T", [
+    (40, 16, 16, 2, 9, 8),
+    (300, 256, 256, 16, 49, 20),   # optimized-trainer production dims
+])
+def test_pallas_compact_greedy_matches_scan(V, E, H, B, Lf, T):
+    from imagecaptioner_tpu.core.config import compact_student_config
+    from imagecaptioner_tpu.ops.pallas_greedy import (
+        pallas_greedy_decode_compact)
+
+    cfg = compact_student_config(V, embed_size=E, hidden_size=H)
+    p, s = SM.student_init(jax.random.PRNGKey(0), cfg)
+    feats = jax.random.normal(jax.random.PRNGKey(1), (B, Lf, E)) * 0.3
+    ref = D.greedy_decode_student(p, feats, cfg, max_length=T)
+    got = pallas_greedy_decode_compact(p, feats, cfg, max_length=T,
+                                       interpret=INTERPRET)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
 def test_pallas_greedy_temperature():
     cfg = full_student_config(40, embed_size=16, hidden_size=24, dropout=0.0)
     p, s = SM.student_init(jax.random.PRNGKey(2), cfg)

@@ -125,6 +125,7 @@ def train_student_with_kd(
         (sample_images, sample_caps), key=k_proj, verbose=verbose)
 
     params = {"student": s_params, "projectors": projectors}
+    opt = steps.make_kd_opt(params, s_cfg, tr)  # kept for resume coercion
     state = steps.TrainState(params, O.adamw_init(params), s_state)
     start_epoch = 0
     if resume_from is not None:
@@ -135,12 +136,9 @@ def train_student_with_kd(
             "projectors": jax.tree.map(jnp.asarray,
                                        ck["projectors_state_dict"]),
         }
-        opt = ck["optimizer_state_dict"]
         state = steps.TrainState(
             params,
-            O.AdamWState(step=jnp.asarray(opt["step"]),
-                         mu=jax.tree.map(jnp.asarray, opt["mu"]),
-                         nu=jax.tree.map(jnp.asarray, opt["nu"])),
+            opt.coerce_state_tree(ck["optimizer_state_dict"]),
             jax.tree.map(jnp.asarray, ck["student_state_dict"]["model_state"]))
         start_epoch = int(ck["epoch"]) + 1
         if verbose:

@@ -90,7 +90,6 @@ def train_student_with_kd_optimized(
         teacher_seq_len=t_cfg.num_tokens)
 
     params = {"student": s_params, "projectors": projectors}
-    state = steps.TrainState(params, O.adamw_init(params), s_state)
 
     steps_per_epoch = max(len(train_loader) // tr.accumulation_steps, 1)
     total_opt_steps = steps_per_epoch * tr.num_epochs
@@ -102,6 +101,7 @@ def train_student_with_kd_optimized(
                          num_epochs=tr.num_epochs,
                          weight_decay=tr.weight_decay,
                          grad_clip=tr.grad_clip)
+    state = steps.TrainState(params, O.adamw_init(params), s_state)
     aug = T.AugmentConfig(
         brightness=0.2, contrast=0.2, saturation=0.2, hue=0.1,
         hflip_prob=0.5, rotation_deg=5.0, random_crop=True,

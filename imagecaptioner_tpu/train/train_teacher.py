@@ -76,18 +76,18 @@ def train(
     if verbose:
         print(f"Total parameters: {TM.count_parameters(params):,}")
 
+    # per-leaf AdamW with donation measured ~3x faster than the flat
+    # (raveled) variant on TPU — see optim.FlatAdamW docstring
+    opt = steps.make_teacher_opt(params, t_cfg, tr)  # kept for resume coercion
     state = steps.TrainState(params, O.adamw_init(params), {})
     start_epoch = 0
     if resume_from is not None:
         # resumable training — a capability the reference lacks (SURVEY §5.3)
         ck = CKPT.load_checkpoint(resume_from)
         params = jax.tree.map(jnp.asarray, ck["model_state_dict"]["params"])
-        opt = ck["optimizer_state_dict"]
         state = steps.TrainState(
             params,
-            O.AdamWState(step=jnp.asarray(opt["step"]),
-                         mu=jax.tree.map(jnp.asarray, opt["mu"]),
-                         nu=jax.tree.map(jnp.asarray, opt["nu"])),
+            opt.coerce_state_tree(ck["optimizer_state_dict"]),
             jax.tree.map(jnp.asarray, ck["model_state_dict"]["model_state"]))
         start_epoch = int(ck["epoch"]) + 1
         if verbose:

@@ -110,6 +110,58 @@ def test_onecycle_matches_torch():
         sched.step()
 
 
+def test_flat_adamw_matches_per_leaf():
+    """The fused FlatAdamW must be numerically identical to the torch-verified
+    per-leaf implementation (param groups, wd, trainable mask, clip)."""
+    key = jax.random.PRNGKey(0)
+    params = {
+        "enc": {"w": jax.random.normal(key, (8, 4)), "b": jnp.zeros((4,))},
+        "dec": {"w": jax.random.normal(jax.random.fold_in(key, 1), (6, 3))},
+        "frozen": jnp.ones((5,)),
+    }
+    scales = {"enc": {"w": 0.1, "b": 0.1}, "dec": {"w": 1.0}, "frozen": 1.0}
+    wds = {"enc": {"w": 0.01, "b": 0.01}, "dec": {"w": 0.005}, "frozen": 0.01}
+    trainable = {"enc": {"w": True, "b": True}, "dec": {"w": True},
+                 "frozen": False}
+
+    flat = O.FlatAdamW(params, lr_scale=scales, weight_decay=wds,
+                       trainable=trainable)
+    st_flat = flat.init()
+    st_leaf = O.adamw_init(params)
+    p_flat, p_leaf = params, params
+    for i in range(4):
+        grads = jax.tree.map(
+            lambda x: jax.random.normal(jax.random.fold_in(key, 10 + i),
+                                        x.shape), params)
+        t = jnp.float32(i * 0.3)
+        lr_flat = flat.lr_cosine_warm_restarts(t, base_lr=1e-3, t0=5,
+                                               t_mult=2, eta_min=1e-6)
+        p_flat, st_flat, norm = flat.update(grads, st_flat, p_flat,
+                                            lr_flat=lr_flat, max_grad_norm=1.0)
+        # per-leaf path: mask, clip, schedule, update
+        g2 = jax.tree.map(lambda g, tr: g if tr else jnp.zeros_like(g),
+                          grads, trainable)
+        g2, norm2 = O.clip_by_global_norm(g2, 1.0)
+        lr_tree = jax.tree.map(
+            lambda s: O.cosine_warm_restarts(t, base_lr=1e-3 * s, t0=5,
+                                             t_mult=2, eta_min=1e-6), scales)
+        p_leaf, st_leaf = O.adamw_update(g2, st_leaf, p_leaf, lr=1.0,
+                                         lr_scale=lr_tree, weight_decay=wds,
+                                         trainable=trainable)
+        np.testing.assert_allclose(float(norm), float(norm2), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(p_flat), jax.tree.leaves(p_leaf)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_flat_adamw_onecycle_proportionality():
+    params = {"a": jnp.ones((3,)), "b": jnp.ones((2,))}
+    flat = O.FlatAdamW(params, lr_scale={"a": 1.0, "b": 1.5})
+    lr = flat.lr_onecycle(jnp.float32(10), max_lr=3e-4, total_steps=100)
+    base = float(O.onecycle_lr(jnp.float32(10), max_lr=3e-4, total_steps=100))
+    np.testing.assert_allclose(np.asarray(lr[:3]), base, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(lr[3:]), 1.5 * base, rtol=1e-6)
+
+
 def test_label_smoothing_matches_reference_semantics():
     """Oracle: the inline LabelSmoothingLoss (train_teacher.py:131-155)."""
     torch.manual_seed(3)

@@ -44,7 +44,8 @@ def main():
     if not os.path.exists(os.path.join(data, "captions_clean.csv")):
         os.makedirs(data, exist_ok=True)
         make_synthetic_dataset(data, n_images=args.images,
-                               captions_per_image=1, image_size=224, seed=0)
+                               captions_per_image=1, image_size=224, seed=0,
+                               learnable=True)
     out = os.path.join(args.workdir, "saved_models")
 
     print(f"devices: {jax.devices()}")

@@ -170,11 +170,6 @@ def make_teacher_eval_step(t_cfg: TeacherConfig, tr_cfg: TeacherTrainConfig, *,
 def kd_group_scales(params, *, others_scale: float = 1.0) -> Any:
     """Student 'encoder' -> 0.1; decoder -> 1.0; others (refinement +
     projectors) -> others_scale (train_student_kd.py:219-234)."""
-    def scale_for(key):
-        if key == "student":
-            return None  # handled per sub-key
-        return others_scale
-
     out = {}
     for k, v in params.items():
         if k == "student":

@@ -142,7 +142,6 @@ def train(
             **extra,
         )
 
-    stopped = False
     for epoch in range(start_epoch, tr.num_epochs):
         epoch_losses = []  # device arrays; fetched once per epoch (no
         # per-step host syncs — each one is a device round-trip)
@@ -177,7 +176,6 @@ def train(
                 if verbose:
                     print(f"Early stopping triggered after {tr.patience} "
                           "epochs without improvement")
-                stopped = True
                 break
         elif verbose:
             print(f"Epoch {epoch+1}: Train Loss: {avg_train:.4f}")

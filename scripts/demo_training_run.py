@@ -22,6 +22,7 @@ def main():
     ap.add_argument("--epochs-teacher", type=int, default=12)
     ap.add_argument("--epochs-kd", type=int, default=8)
     ap.add_argument("--images", type=int, default=192)
+    ap.add_argument("--skip-teacher", action="store_true")
     ap.add_argument("--out", default="docs/demo_run.md")
     args = ap.parse_args()
 
@@ -49,13 +50,17 @@ def main():
     out = os.path.join(args.workdir, "saved_models")
 
     print(f"devices: {jax.devices()}")
-    print("=== teacher ===", flush=True)
-    train_teacher(
-        data, output_dir=out,
-        train_cfg=TeacherTrainConfig(num_epochs=args.epochs_teacher,
-                                     validate_every=2,
-                                     learning_rate=3e-4),
-        verbose=True)
+    if args.skip_teacher and os.path.exists(
+            os.path.join(out, "best_teacher_model.npz")):
+        print("=== teacher: reusing existing checkpoint ===", flush=True)
+    else:
+        print("=== teacher ===", flush=True)
+        train_teacher(
+            data, output_dir=out,
+            train_cfg=TeacherTrainConfig(num_epochs=args.epochs_teacher,
+                                         validate_every=2,
+                                         learning_rate=3e-4),
+            verbose=True)
 
     print("=== KD ===", flush=True)
     train_student_with_kd(

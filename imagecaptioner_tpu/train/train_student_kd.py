@@ -86,6 +86,7 @@ def train_student_with_kd(
     max_steps_per_epoch: Optional[int] = None,
     resume_from: Optional[str] = None,
     data_parallel: bool = True,
+    metrics_jsonl: Optional[str] = None,
     verbose: bool = True,
 ):
     tr = train_cfg or KDTrainConfig()
@@ -165,6 +166,9 @@ def train_student_with_kd(
     train_losses, val_losses, val_bleu_scores = [], [], []
     loss_components_history = defaultdict(list)
     best_val = float("inf")
+    from imagecaptioner_tpu.utils.logging import MetricLogger
+
+    mlog = MetricLogger(metrics_jsonl)
 
     def ckpt_tree(epoch, extra):
         return dict(
@@ -206,6 +210,8 @@ def train_student_with_kd(
                 common.log_progress(epoch, idx, m, float(m["lr"]),
                                     steps_per_epoch)
         fetched = jax.device_get(step_metrics)
+        for si, m in enumerate(fetched):
+            mlog.log_step(epoch * steps_per_epoch + si, m, epoch=epoch)
         epoch_losses = [float(m["total_loss"]) for m in fetched]
         epoch_components = defaultdict(float)
         for m in fetched:
@@ -261,6 +267,7 @@ def train_student_with_kd(
                  embed_size=s_cfg.embed_size, hidden_size=s_cfg.hidden_size,
                  alpha=d_cfg.alpha, beta=d_cfg.beta, gamma=d_cfg.gamma,
                  temperature=d_cfg.temperature)))
+    mlog.close()
     if verbose:
         print("\nTraining completed!")
         print(f"Best validation loss: {best_val:.4f}")

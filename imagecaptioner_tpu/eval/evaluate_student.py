@@ -238,6 +238,9 @@ def main():
     ap.add_argument("--max-samples", type=int, default=100)
     ap.add_argument("--output", default="student_vs_teacher_report.json")
     args = ap.parse_args()
+    from imagecaptioner_tpu.core.runtime import enable_compile_cache
+
+    enable_compile_cache()
     ev = load_student_evaluator(args.student_checkpoint,
                                 args.teacher_checkpoint, args.vocab)
     captions = args.captions_file or os.path.join(args.data_root,

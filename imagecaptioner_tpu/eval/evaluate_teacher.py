@@ -155,6 +155,9 @@ def main():
     ap.add_argument("--max-samples", type=int, default=500)
     ap.add_argument("--output", default="evaluation_report.json")
     args = ap.parse_args()
+    from imagecaptioner_tpu.core.runtime import enable_compile_cache
+
+    enable_compile_cache()
     evaluator = load_teacher_evaluator(args.checkpoint, args.vocab)
     captions = args.captions_file or os.path.join(args.data_root,
                                                   "captions_clean.csv")

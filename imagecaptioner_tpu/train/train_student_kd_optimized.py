@@ -51,6 +51,7 @@ def train_student_with_kd_optimized(
     seed: int = 0,
     max_steps_per_epoch: Optional[int] = None,
     data_parallel: bool = True,
+    resume_from: Optional[str] = None,
     verbose: bool = True,
 ):
     tr = train_cfg or OptimizedKDTrainConfig()
@@ -102,6 +103,28 @@ def train_student_with_kd_optimized(
                          weight_decay=tr.weight_decay,
                          grad_clip=tr.grad_clip)
     state = steps.TrainState(params, O.adamw_init(params), s_state)
+    start_epoch = 0
+    if resume_from is not None:
+        ck = CKPT.load_checkpoint(resume_from)
+        params = {
+            "student": jax.tree.map(jnp.asarray,
+                                    ck["student_state_dict"]["params"]),
+            "projectors": jax.tree.map(jnp.asarray,
+                                       ck["projectors_state_dict"]),
+        }
+        opt_sd = ck["optimizer_state_dict"]
+        state = steps.TrainState(
+            params,
+            O.AdamWState(step=jnp.asarray(opt_sd["step"]),
+                         mu=jax.tree.map(jnp.asarray, opt_sd["mu"]),
+                         nu=jax.tree.map(jnp.asarray, opt_sd["nu"])),
+            jax.tree.map(jnp.asarray, ck["student_state_dict"]["model_state"]))
+        start_epoch = int(ck["epoch"]) + 1
+        global_step_init = int(ck["scheduler_state_dict"].get("global_step", 0))
+        if verbose:
+            print(f"Resumed from {resume_from} at epoch {start_epoch}")
+    else:
+        global_step_init = 0
     aug = T.AugmentConfig(
         brightness=0.2, contrast=0.2, saturation=0.2, hue=0.1,
         hflip_prob=0.5, rotation_deg=5.0, random_crop=True,
@@ -132,7 +155,7 @@ def train_student_with_kd_optimized(
     loss_components_history = defaultdict(list)
     best_val = float("inf")
     timer = common.Timer()
-    global_step = 0
+    global_step = global_step_init
 
     def validate_fast(max_batches=15):
         """validate_student_model_fast (:145-203)."""
@@ -181,7 +204,7 @@ def train_student_with_kd_optimized(
             **extra,
         )
 
-    for epoch in range(tr.num_epochs):
+    for epoch in range(start_epoch, tr.num_epochs):
         ep_timer = common.Timer()
         step_metrics = []  # device arrays; one host fetch per epoch
         nb = 0
@@ -259,10 +282,15 @@ def main():
     ap.add_argument("--output-dir", default="saved_models")
     ap.add_argument("--epochs", type=int, default=None)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--resume-from", default=None)
     args = ap.parse_args()
+    from imagecaptioner_tpu.core.runtime import enable_compile_cache
+
+    enable_compile_cache()
     train_student_with_kd_optimized(
         args.data_root, args.captions_file, args.teacher_checkpoint,
-        args.output_dir, num_epochs=args.epochs, seed=args.seed)
+        args.output_dir, num_epochs=args.epochs, seed=args.seed,
+        resume_from=args.resume_from)
 
 
 if __name__ == "__main__":

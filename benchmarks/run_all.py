@@ -150,8 +150,22 @@ def config_3():
                                  jnp.bfloat16)
 
     per = _timed_marginal(beam, mk, n_small=2, n_large=8)
+
+    # batched (vmapped) beam: 8 images per call
+    @jax.jit
+    def beam8(imgs):
+        memory = TM.encode_image(params, imgs, cfg)
+        return D.beam_search_teacher_batched(params, memory, cfg,
+                                             max_length=20, beam_size=5)[0]
+
+    def mk8(i):
+        return jax.random.normal(jax.random.PRNGKey(i), (8, 3, 224, 224),
+                                 jnp.bfloat16)
+
+    per8 = _timed_marginal(beam8, mk8, n_small=2, n_large=8)
     return {"name": "teacher_beam_search_197tok",
-            "p50_latency_s": per, "images_per_sec": 1.0 / per}
+            "p50_latency_s": per, "images_per_sec": 1.0 / per,
+            "batched8_images_per_sec": 8.0 / per8}
 
 
 def config_4():
@@ -264,6 +278,11 @@ def main():
         print("running config 5...")
         results["5"] = config_5(args.epochs)
         print(json.dumps(results["5"]))
+    results["_note"] = (
+        "Measured through a shared TPU relay; run-to-run variance is 2-6x "
+        "with relay load. Methodology: distinct inputs, device_get sync, "
+        "steady-state marginal (docs/design.md §7). bench.py is the "
+        "canonical headline measurement.")
     os.makedirs(os.path.dirname(args.output), exist_ok=True)
     with open(args.output, "w") as f:
         json.dump(results, f, indent=2)

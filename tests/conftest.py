@@ -15,8 +15,11 @@ if os.environ.get("IC_TPU_TESTS") != "1":
     jax.config.update("jax_platforms", "cpu")
 
 # Persistent compilation cache: the suite is compile-dominated, this makes
-# repeat runs several times faster.
-_cache_dir = os.environ.get("IC_JAX_CACHE", "/tmp/ic_jax_cache")
+# repeat runs several times faster.  The CPU suite uses its OWN cache dir —
+# sharing one with TPU-platform processes produced AOT entries whose CPU
+# feature sets mismatch this host (the cpu_aot_loader warning), which can
+# abort with SIGILL on load.
+_cache_dir = os.environ.get("IC_JAX_CACHE_TESTS", "/tmp/ic_jax_cache_cpu")
 jax.config.update("jax_compilation_cache_dir", _cache_dir)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 

@@ -60,16 +60,17 @@ def get_torch_baseline(quick: bool) -> float:
     return ips
 
 
-def measure_jax(num_batches: int) -> float:
-    """Serving-style throughput: N DISTINCT pre-staged batches submitted
-    back-to-back, all token outputs fetched to host.
+# ResNet-50 forward at 224^2 is ~4.1 GFLOP/image (encoder only — decode adds
+# more, so this ceiling is generous).  Any measured rate implying more than
+# the calibrated ~125 TFLOP/s is a relay measurement artifact, not physics.
+FLOPS_PER_IMAGE = 4.1e9
 
-    Measurement discipline for this TPU relay (learned the hard way):
-      * identical repeated calls get deduped upstream — every batch must be
-        distinct data;
-      * block_until_ready does not reliably wait here — jax.device_get of
-        the actual outputs is the only trustworthy sync.
-    """
+
+def measure_jax(num_batches: int) -> dict:
+    """Serving-style throughput: DISTINCT pre-staged batches submitted
+    back-to-back, outputs fetched to host, interleaved small/large timing
+    pairs with a median-marginal estimator and a physics guard
+    (core/timing.py — round-1 VERDICT methodology fixes)."""
     import jax
     import jax.numpy as jnp
 
@@ -77,6 +78,7 @@ def measure_jax(num_batches: int) -> float:
 
     enable_compile_cache()
 
+    from imagecaptioner_tpu.core import timing
     from imagecaptioner_tpu.core.config import full_student_config
     from imagecaptioner_tpu.models import student as SM
     from imagecaptioner_tpu.ops import decode as D
@@ -93,8 +95,7 @@ def measure_jax(num_batches: int) -> float:
         from imagecaptioner_tpu.ops.pallas_greedy import (
             pallas_greedy_decode_student)
 
-    @jax.jit
-    def caption(images):
+    def caption_one(images):
         _, refined, _ = SM.encode_image(params, state, images, cfg,
                                         train=False)
         if use_pallas:
@@ -103,26 +104,24 @@ def measure_jax(num_batches: int) -> float:
         return D.greedy_decode_student(params, refined, cfg,
                                        max_length=MAX_LEN)
 
-    def timed(n):
-        batches = [
-            jax.random.normal(jax.random.PRNGKey(100 + i),
-                              (BATCH, 3, 224, 224), jnp.bfloat16)
-            for i in range(n)
-        ]
-        _ = jax.device_get(caption(batches[0]))  # compile + warmup
-        gather = jax.jit(lambda *xs: jnp.stack([x[0, 0] for x in xs]))
-        t0 = time.perf_counter()
-        outs = [caption(x) for x in batches]
-        _ = jax.device_get(gather(*outs))  # one sync, one fetch
-        return time.perf_counter() - t0
+    # One dispatch processes a STREAM of K batch-16 batches (lax.map keeps
+    # per-batch-16 execution semantics).  Through this relay a single
+    # dispatch costs ~15 ms while the batch itself is ~2 ms of compute —
+    # serving at full rate requires amortizing dispatch, exactly as a real
+    # serving loop would queue work.
+    K = 8
+    caption_stream = jax.jit(
+        lambda stacked: jax.lax.map(caption_one, stacked))
 
-    # steady-state marginal rate: subtract the fixed session overhead
-    # (tunnel round-trip + first upload) measured by a smaller run
-    n_small, n_large = max(2, num_batches // 4), num_batches
-    d_small = timed(n_small)
-    d_large = timed(n_large)
-    per_batch = max((d_large - d_small) / (n_large - n_small), 1e-9)
-    return BATCH / per_batch
+    def mk(i):
+        return jax.random.normal(jax.random.PRNGKey(i),
+                                 (K, BATCH, 3, 224, 224), jnp.bfloat16)
+
+    stats = timing.steady_state(caption_stream, mk,
+                                n_small=max(2, num_batches // 4),
+                                n_large=num_batches, pairs=5)
+    return timing.guarded_rate(stats, items_per_call=K * BATCH,
+                               flops_per_item=FLOPS_PER_IMAGE)
 
 
 def main():
@@ -132,8 +131,9 @@ def main():
                     help="report vs_baseline from cache or 0")
     args = ap.parse_args()
 
-    num_batches = 3 if args.quick else 10
-    jax_ips = measure_jax(num_batches)
+    num_batches = 4 if args.quick else 12
+    meas = measure_jax(num_batches)
+    jax_ips = meas["items_per_sec"]
 
     if args.skip_baseline and not os.path.exists(BASELINE_CACHE):
         baseline = None
@@ -145,6 +145,11 @@ def main():
         "value": round(jax_ips, 3),
         "unit": "images/s",
         "vs_baseline": round(jax_ips / baseline, 3) if baseline else None,
+        "estimator": meas["estimator"],
+        "total_based_value": round(meas["items_per_sec_total_based"], 3),
+        "physics_max": round(meas["physics_max_items_per_sec"], 1),
+        "raw": [{k: round(v, 4) if isinstance(v, float) else v
+                 for k, v in r.items()} for r in meas["raw"]],
     }
     print(json.dumps(out))
 

@@ -61,10 +61,15 @@ class StudentEvaluator:
     # -- latency -------------------------------------------------------------
 
     def measure_latencies(self, image_nchw, *, num_runs=10) -> Dict[str, Dict]:
+        # Distinct inputs per timed run (relay dedup rule): perturb the image
+        # below visual significance — the measured work is identical.
+        def mk(i):
+            return image_nchw + jnp.float32(i) * 1e-6
+
         student = measure_inference_time(
-            lambda: self._student_tokens(image_nchw), num_runs=num_runs)
+            self._student_tokens, mk, num_runs=num_runs)
         teacher = measure_inference_time(
-            lambda: self._teacher_tokens(image_nchw), num_runs=num_runs)
+            self._teacher_tokens, mk, num_runs=num_runs)
         return {"student": student, "teacher": teacher}
 
     def _student_tokens(self, image_nchw):

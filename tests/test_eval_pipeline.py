@@ -117,10 +117,32 @@ def test_student_evaluator_comparison_report(artifacts, tmp_path):
 def test_latency_harness():
     import jax.numpy as jnp
 
-    f = jax.jit(lambda: jnp.ones((32, 32)).sum())
-    stats = measure_inference_time(f, num_runs=5, warmup=2)
+    f = jax.jit(lambda x: (x * x).sum())
+    stats = measure_inference_time(
+        f, lambda i: jnp.full((32, 32), float(i)), num_runs=5, warmup=2)
     assert stats["num_runs"] == 5
     assert stats["min_s"] <= stats["p50_s"] <= stats["max_s"]
+
+
+def test_steady_state_estimator():
+    """Median-marginal estimator + physics guard (core/timing.py)."""
+    import jax.numpy as jnp
+
+    from imagecaptioner_tpu.core import timing
+
+    f = jax.jit(lambda x: (x * 2.0).sum())
+    stats = timing.steady_state(f, lambda i: jnp.full((8, 8), float(i)),
+                                n_small=2, n_large=4, pairs=3)
+    assert stats["per_call_marginal"] > 0
+    assert stats["per_call_total"] > 0
+    assert len(stats["raw"]) == 3
+
+    # guard: an impossible marginal rate must not survive as the headline
+    fake = {"per_call_marginal": 1e-12, "per_call_total": 1e-3,
+            "raw": []}
+    g = timing.guarded_rate(fake, items_per_call=1.0, flops_per_item=4.1e9)
+    assert g["items_per_sec"] <= timing.physics_max_rate(4.1e9)
+    assert "physics" in g["estimator"] or "total_based" in g["estimator"]
 
 
 def test_streamlit_demo_cli(artifacts):

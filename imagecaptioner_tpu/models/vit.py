@@ -111,11 +111,19 @@ def vit_forward_features(
 
 
 def vit_trainable_mask(p: Params, cfg: TeacherConfig) -> Params:
-    """Reference partial freeze: only blocks 8-11 + final norm trainable
-    (teacher_model.py:43-47)."""
+    """Reference partial freeze (teacher_model.py:43-47): a param is
+    trainable iff its timm name contains ``blocks.8``/``9``/``10``/``11``
+    or ``norm`` — which unfreezes the last 4 blocks ENTIRELY plus every
+    ``norm1``/``norm2`` inside the frozen early blocks plus the final norm.
+    patch_embed / cls_token / pos_embed stay frozen."""
     mask = jax.tree.map(lambda _: False, p)
     for i in range(len(p["blocks"])):
         trainable = i >= cfg.encoder_depth - 4
         mask["blocks"][i] = jax.tree.map(lambda _: trainable, p["blocks"][i])
+        if not trainable:  # 'norm' in name matches frozen blocks' LNs too
+            mask["blocks"][i]["norm1"] = jax.tree.map(
+                lambda _: True, p["blocks"][i]["norm1"])
+            mask["blocks"][i]["norm2"] = jax.tree.map(
+                lambda _: True, p["blocks"][i]["norm2"])
     mask["norm"] = jax.tree.map(lambda _: True, p["norm"])
     return mask

@@ -167,9 +167,33 @@ def test_teacher_trainable_mask():
     cfg = TeacherConfig(vocab_size=50, encoder_depth=12)
     p = TM.teacher_init(jax.random.PRNGKey(0), cfg)
     mask = TM.teacher_trainable_mask(p, cfg)
-    assert not any(jax.tree.leaves(mask["encoder"]["blocks"][0]))
-    assert not any(jax.tree.leaves(mask["encoder"]["blocks"][7]))
+    # early blocks frozen EXCEPT their LayerNorms ('norm' in name rule)
+    for i in (0, 7):
+        blk = mask["encoder"]["blocks"][i]
+        assert all(jax.tree.leaves(blk["norm1"]))
+        assert all(jax.tree.leaves(blk["norm2"]))
+        assert not any(jax.tree.leaves(blk["attn"]))
+        assert not any(jax.tree.leaves(blk["mlp"]))
     assert all(jax.tree.leaves(mask["encoder"]["blocks"][8]))
     assert all(jax.tree.leaves(mask["encoder"]["norm"]))
     assert not mask["encoder"]["cls_token"]
     assert all(jax.tree.leaves(mask["decoder"]))
+
+
+def test_vit_trainable_mask_equals_reference_name_rule():
+    """The trainable set must equal the reference rule
+    (teacher_model.py:43-47) applied to the converted timm key names."""
+    from imagecaptioner_tpu.utils import torch_convert as TC
+
+    cfg = TeacherConfig(vocab_size=50, encoder_depth=12)
+    p = TM.teacher_init(jax.random.PRNGKey(0), cfg)
+    mask = TM.teacher_trainable_mask(p, cfg)
+    named = {}
+    TC._export_keymap(TC.teacher_keymap(cfg)["encoder"], mask["encoder"],
+                      named)
+    assert len(named) > 100
+    for torch_key, trainable in named.items():
+        name = torch_key.removeprefix("encoder.")  # timm named_parameters
+        ref = (any(f"blocks.{i}" in name for i in (8, 9, 10, 11))
+               or "norm" in name)
+        assert bool(trainable) == ref, (name, bool(trainable), ref)

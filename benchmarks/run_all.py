@@ -40,11 +40,30 @@ def _measure(fn, make_input, *, items_per_call=1.0, flops_per_item=None,
 
 
 def config_1():
-    """Compact-student greedy smoke on CPU (one image)."""
-    import jax
+    """Compact-student greedy smoke on CPU (one image).
 
-    jax.config.update("jax_platforms", "cpu")  # must run before backend init
-    return _config_compact_smoke()
+    Runs in a subprocess: forcing jax_platforms=cpu is only possible before
+    backend init, and the other configs need the TPU backend in this process.
+    """
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    env["JAX_COMPILATION_CACHE_DIR"] = "/tmp/ic_jax_cache_cpu"
+    code = (
+        "import jax, json; jax.config.update('jax_platforms', 'cpu'); "
+        "from benchmarks.run_all import _config_compact_smoke; "
+        "print('RESULT::' + json.dumps(_config_compact_smoke()))"
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", code],
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+    for line in proc.stdout.splitlines():
+        if line.startswith("RESULT::"):
+            return json.loads(line[len("RESULT::"):])
+    raise RuntimeError(f"config_1 subprocess failed (rc={proc.returncode}):\n"
+                       f"{proc.stdout[-2000:]}")
 
 
 def _config_compact_smoke():

@@ -34,23 +34,40 @@ def _build() -> bool:
         return False
 
 
+def _stale() -> bool:
+    """A binary older than the source must be rebuilt — otherwise a stale
+    (or foreign-arch) .so silently shadows tokenizer.cpp changes."""
+    try:
+        return os.path.getmtime(_SO) < os.path.getmtime(_SRC)
+    except OSError:
+        return True
+
+
+def _try_cdll() -> Optional[ctypes.CDLL]:
+    try:
+        lib = ctypes.CDLL(_SO)
+        lib.ic_tokenize.argtypes = [ctypes.c_char_p, ctypes.c_char_p,
+                                    ctypes.c_int]
+        lib.ic_tokenize.restype = ctypes.c_int
+        return lib
+    except OSError:
+        return None
+
+
 def _load() -> Optional[ctypes.CDLL]:
     global _lib, _tried
     with _lock:
         if _lib is not None or _tried:
             return _lib
         _tried = True
-        if not os.path.exists(_SO) and os.path.exists(_SRC):
-            if not _build():
-                return None
-        try:
-            lib = ctypes.CDLL(_SO)
-            lib.ic_tokenize.argtypes = [ctypes.c_char_p, ctypes.c_char_p,
-                                        ctypes.c_int]
-            lib.ic_tokenize.restype = ctypes.c_int
-            _lib = lib
-        except OSError:
-            _lib = None
+        if not os.path.exists(_SRC):
+            _lib = _try_cdll() if os.path.exists(_SO) else None
+            return _lib
+        if (not os.path.exists(_SO) or _stale()) and not _build():
+            return None
+        _lib = _try_cdll()
+        if _lib is None and _build():  # incompatible binary: rebuild once
+            _lib = _try_cdll()
         return _lib
 
 

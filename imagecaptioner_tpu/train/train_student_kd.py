@@ -149,7 +149,9 @@ def train_student_with_kd(
     eval_step = steps.make_kd_eval_step(
         t_cfg, s_cfg, d_cfg, compute_dtype=compute_dtype)
 
-    mesh = common.maybe_mesh(tr.batch_size, data_parallel)
+    # divisibility must be judged on the loader's EFFECTIVE batch
+    # (get_loader silently caps at 16 and at dataset size)
+    mesh = common.maybe_mesh(train_loader.batch_size, data_parallel)
     if mesh is not None:
         from imagecaptioner_tpu.core import mesh as MS
 

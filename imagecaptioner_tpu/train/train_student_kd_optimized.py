@@ -138,7 +138,9 @@ def train_student_with_kd_optimized(
         t_cfg, s_cfg, None, compute_dtype=compute_dtype, optimized=True,
         od_cfg=od_cfg)
 
-    mesh = common.maybe_mesh(tr.batch_size, data_parallel)
+    # divisibility must be judged on the loader's EFFECTIVE batch
+    # (get_loader silently caps at 16 and at dataset size)
+    mesh = common.maybe_mesh(train_loader.batch_size, data_parallel)
     if mesh is not None:
         from imagecaptioner_tpu.core import mesh as MS
 

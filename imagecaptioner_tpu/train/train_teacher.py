@@ -97,7 +97,9 @@ def train(
     eval_step = steps.make_teacher_eval_step(t_cfg, tr,
                                              compute_dtype=compute_dtype)
 
-    mesh = common.maybe_mesh(tr.batch_size, data_parallel)
+    # divisibility must be judged on the loader's EFFECTIVE batch
+    # (get_loader silently caps at 16 and at dataset size)
+    mesh = common.maybe_mesh(train_loader.batch_size, data_parallel)
     if mesh is not None:
         from imagecaptioner_tpu.core import mesh as MS
 

@@ -317,16 +317,30 @@ def compact_student_to_torch(params, state, cfg: StudentConfig):
 # ---------------------------------------------------------------------------
 
 
-def load_reference_pth(path: str) -> Dict[str, np.ndarray]:
-    """Load a torch checkpoint file into a flat numpy state dict."""
+def _to_numpy_leaves(obj):
+    """Recursively convert torch tensors to numpy; leave other values as-is."""
+    if hasattr(obj, "detach"):
+        return np.array(obj.detach().numpy(), copy=True)
+    if isinstance(obj, dict):
+        return {k: _to_numpy_leaves(v) for k, v in obj.items()}
+    if isinstance(obj, (list, tuple)):
+        return type(obj)(_to_numpy_leaves(v) for v in obj)
+    return obj
+
+
+def load_reference_pth(path: str, *,
+                       allow_pickle: bool = False) -> Dict[str, np.ndarray]:
+    """Load a torch checkpoint file into a (possibly nested) numpy dict.
+
+    Defaults to ``weights_only=True`` — checkpoints from an untrusted
+    upstream pipeline must not be able to run arbitrary pickle code.  Pass
+    ``allow_pickle=True`` only for files you trust that need full pickling.
+    Tensor leaves are converted recursively, so picking a nested
+    ``*_state_dict`` out of a reference checkpoint wrapper always yields
+    pure numpy.
+    """
     import torch
 
-    obj = torch.load(path, map_location="cpu", weights_only=False)
-    if isinstance(obj, dict) and any(
-            k.endswith("state_dict") for k in obj):
-        # reference checkpoint wrapper — caller picks the sub-dict
-        return {k: (v if not hasattr(v, "numpy") else
-                    np.array(v.detach().numpy(), copy=True))
-                for k, v in obj.items()}
-    return {k: np.array(v.detach().numpy(), copy=True)
-            for k, v in obj.items()}
+    obj = torch.load(path, map_location="cpu",
+                     weights_only=not allow_pickle)
+    return _to_numpy_leaves(obj)

@@ -217,6 +217,10 @@ def load_student_evaluator(student_checkpoint: str, teacher_checkpoint: str,
     mk = full_student_config
     if variant == "compact":
         from imagecaptioner_tpu.core.config import compact_student_config as mk
+    elif variant == "enhanced":
+        from imagecaptioner_tpu.core.config import enhanced_student_config as mk
+    elif variant != "full":
+        raise ValueError(f"unknown student model_type {variant!r}")
     s_cfg = mk(int(s_ckpt["vocab_size"]),
                **{k: v for k, v in mc.items()
                   if k in ("embed_size", "hidden_size", "num_layers",

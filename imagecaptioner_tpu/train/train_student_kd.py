@@ -186,7 +186,10 @@ def train_student_with_kd(
             model_config=dict(embed_size=s_cfg.embed_size,
                               hidden_size=s_cfg.hidden_size,
                               num_layers=s_cfg.num_layers,
-                              dropout=s_cfg.dropout),
+                              dropout=s_cfg.dropout,
+                              use_attention_refinement=(
+                                  s_cfg.use_attention_refinement),
+                              model_type=s_cfg.variant),
             distillation_config=dict(alpha=d_cfg.alpha, beta=d_cfg.beta,
                                      gamma=d_cfg.gamma,
                                      temperature=d_cfg.temperature),

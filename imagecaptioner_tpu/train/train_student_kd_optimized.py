@@ -195,7 +195,7 @@ def train_student_with_kd_optimized(
                               num_layers=s_cfg.num_layers,
                               dropout=s_cfg.dropout,
                               use_attention_refinement=s_cfg.use_attention_refinement,
-                              model_type="compact"),
+                              model_type=s_cfg.variant),
             distillation_config=dict(alpha=od_cfg.alpha, beta=od_cfg.beta,
                                      gamma=od_cfg.gamma,
                                      temperature=od_cfg.temperature),

@@ -313,6 +313,142 @@ def compact_student_to_torch(params, state, cfg: StudentConfig):
 
 
 # ---------------------------------------------------------------------------
+# Enhanced student (EfficientNet-B3)
+# ---------------------------------------------------------------------------
+
+
+def _efficientnet_keymap():
+    """torchvision efficientnet_b3 ``features`` naming, under the reference
+    wrapper ``encoder.backbone.0`` (the enhanced encoder wraps
+    Sequential(features, avgpool), student_model_enhanced.py:25).
+
+    Per-block sub-indices depend on expand: with expansion the MBConv is
+    block.0=expand / block.1=depthwise / block.2=SE / block.3=project;
+    stage 1 (t=1) drops the expand so everything shifts down one.
+    """
+    from imagecaptioner_tpu.models.efficientnet import _STAGES
+
+    def conv_bn(prefix):
+        p = {"conv": _lin_nobias(f"{prefix}.0")}
+        bnp, bns = _bn(f"{prefix}.1")
+        p["bn"] = bnp
+        return p, bns
+
+    root = "encoder.backbone.0"
+    p, s = {}, {}
+    p["stem"], s["stem"] = conv_bn(f"{root}.0")
+    p["stages"], s["stages"] = [], []
+    for si, (t, _in, _out, blocks, _st, _k) in enumerate(_STAGES, start=1):
+        sp, ss = [], []
+        for b in range(blocks):
+            pref = f"{root}.{si}.{b}.block"
+            bp, bs = {}, {}
+            j = 0
+            if t != 1:
+                bp["expand"], bs["expand"] = conv_bn(f"{pref}.{j}")
+                j += 1
+            bp["depthwise"], bs["depthwise"] = conv_bn(f"{pref}.{j}")
+            bp["se"] = {"fc1": _lin(f"{pref}.{j + 1}.fc1"),
+                        "fc2": _lin(f"{pref}.{j + 1}.fc2")}
+            bp["project"], bs["project"] = conv_bn(f"{pref}.{j + 2}")
+            sp.append(bp)
+            ss.append(bs)
+        p["stages"].append(sp)
+        s["stages"].append(ss)
+    p["head"], s["head"] = conv_bn(f"{root}.8")
+    return p, s
+
+
+def enhanced_student_keymap(cfg: StudentConfig):
+    """student_model_enhanced.py module naming.  The two bug-fix params
+    (``decoder.query_projection``, ``decoder.highway_context_projection``)
+    have NO torch counterpart — the reference constructs a fresh random
+    Linear inside forward (:279-282) and broadcast-crashes the highway gate
+    (:356-359) — so they are excluded here and freshly initialised on
+    import (see enhanced_student_from_torch)."""
+    ep, es = _efficientnet_keymap()
+    params_km = {
+        "encoder": {
+            "backbone": ep,
+            "spatial_attention": {
+                "conv1": _lin("encoder.spatial_attention.0"),
+                "conv2": _lin("encoder.spatial_attention.2"),
+            },
+            "projection": {"fc1": _lin("encoder.projection.0"),
+                           "fc2": _lin("encoder.projection.3"),
+                           "ln": _ln("encoder.projection.4")},
+        },
+        "decoder": {
+            "embedding": _lin_nobias("decoder.embedding"),
+            "pos_encoding": "decoder.pos_encoding",
+            "image_attention": _mha("decoder.image_attention"),
+            "attention_gate": _lin("decoder.attention_gate.0"),
+            "lstm": [
+                {"weight_ih": f"decoder.lstm_layers.{i}.weight_ih",
+                 "weight_hh": f"decoder.lstm_layers.{i}.weight_hh",
+                 "bias_ih": f"decoder.lstm_layers.{i}.bias_ih",
+                 "bias_hh": f"decoder.lstm_layers.{i}.bias_hh"}
+                for i in range(cfg.num_layers)
+            ],
+            "lstm_norms": [_ln(f"decoder.lstm_norms.{i}")
+                           for i in range(cfg.num_layers)],
+            "highway_gate": _lin("decoder.highway_gate.0"),
+            "output_projection": {
+                "fc1": _lin("decoder.output_projection.0"),
+                "fc2": _lin("decoder.output_projection.3"),
+            },
+        },
+        "feature_compressor": {
+            "fc1": _lin("feature_compressor.0"),
+            "fc2": _lin("feature_compressor.2"),
+        },
+    }
+    if cfg.use_attention_refinement:
+        ar = "attention_refinement"
+        params_km["attention_refinement"] = {
+            "pos_encoding": f"{ar}.pos_encoding",
+            "layers": [
+                {"attention": _mha(f"{ar}.attention_layers.{i}"),
+                 "ffn": {"fc1": _lin(f"{ar}.ffn_layers.{i}.0"),
+                         "fc2": _lin(f"{ar}.ffn_layers.{i}.3")},
+                 "norm1": _ln(f"{ar}.norm_layers.{2 * i}"),
+                 "norm2": _ln(f"{ar}.norm_layers.{2 * i + 1}")}
+                for i in range(2)
+            ],
+            "global_context": {"fc1": _lin(f"{ar}.global_context.2"),
+                               "fc2": _lin(f"{ar}.global_context.4")},
+        }
+    return params_km, {"backbone": es}
+
+
+def enhanced_student_from_torch(sd, cfg: StudentConfig, *, key=None):
+    """Import reference weights; the two bug-fix projections (no torch
+    counterpart, see enhanced_student_keymap) are deterministically
+    initialised from ``key``."""
+    import jax
+
+    pkm, skm = enhanced_student_keymap(cfg)
+    params = _apply_keymap(pkm, sd)
+    from imagecaptioner_tpu.core import modules as M
+
+    k1, k2 = jax.random.split(key if key is not None
+                              else jax.random.PRNGKey(0))
+    params["decoder"]["query_projection"] = jax.tree.map(
+        _np, M.linear_init(k1, cfg.hidden_size, cfg.embed_size))
+    params["decoder"]["highway_context_projection"] = jax.tree.map(
+        _np, M.linear_init(k2, cfg.embed_size, cfg.hidden_size))
+    return params, _apply_keymap(skm, sd)
+
+
+def enhanced_student_to_torch(params, state, cfg: StudentConfig):
+    pkm, skm = enhanced_student_keymap(cfg)
+    out: Dict[str, np.ndarray] = {}
+    _export_keymap(pkm, params, out)
+    _export_keymap(skm, state, out)
+    return out
+
+
+# ---------------------------------------------------------------------------
 # .pth loading (torch checkpoints from the reference pipeline)
 # ---------------------------------------------------------------------------
 

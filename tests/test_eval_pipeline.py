@@ -169,3 +169,32 @@ def test_pipeline_prereq_checks(artifacts, capsys):
     bad = P.check_prerequisites(str(out / "missing.npz"), str(root / "data"),
                                 str(root / "data" / "captions_clean.csv"))
     assert not bad
+
+
+def test_load_student_evaluator_enhanced_dispatch(artifacts, tmp_path):
+    """An 'enhanced' checkpoint must reconstruct the enhanced architecture
+    (round-1 VERDICT: it silently fell back to full_student_config)."""
+    from imagecaptioner_tpu.core.config import enhanced_student_config
+
+    root, out, ds, vocab, t_cfg, _ = artifacts
+    e_cfg = enhanced_student_config(len(vocab), embed_size=16, hidden_size=24,
+                                    num_layers=2, dropout=0.0)
+    e_p, e_s = SM.student_init(jax.random.PRNGKey(3), e_cfg)
+    ckpt = tmp_path / "best_student_model.npz"
+    CKPT.save_checkpoint(str(ckpt), dict(
+        epoch=0, student_state_dict=dict(params=e_p, model_state=e_s),
+        projectors_state_dict={}, optimizer_state_dict={},
+        val_loss=1.0, val_bleu=0.0, vocab_size=len(vocab),
+        model_config=dict(embed_size=16, hidden_size=24, num_layers=2,
+                          dropout=0.0, use_attention_refinement=True,
+                          model_type="enhanced")))
+    ev = load_student_evaluator(str(ckpt),
+                                str(out / "best_teacher_model.npz"),
+                                str(out / "vocab.json"))
+    assert ev.s_cfg.variant == "enhanced"
+    assert ev.s_cfg.feature_tokens == 64
+    img_u8, _ = ds[0]
+    from imagecaptioner_tpu.data import transforms as T
+    image = T.normalize(jnp.asarray(img_u8)[None])
+    cap = ev.student_caption(image, max_length=5)
+    assert isinstance(cap, str)

@@ -113,3 +113,46 @@ def test_decoder_conversion_numerically_exact():
     ref_logits = torch.stack(outs).numpy()
     np.testing.assert_allclose(np.asarray(logits), ref_logits, atol=1e-4,
                                rtol=1e-4)
+
+
+def test_enhanced_student_roundtrip():
+    from imagecaptioner_tpu.core.config import enhanced_student_config
+
+    cfg = enhanced_student_config(40)
+    p, s = SM.student_init(jax.random.PRNGKey(0), cfg)
+    sd = TC.enhanced_student_to_torch(p, s, cfg)
+    # torchvision efficientnet_b3 naming under the reference wrapper
+    assert "encoder.backbone.0.0.0.weight" in sd            # stem conv
+    assert "encoder.backbone.0.1.0.block.0.0.weight" in sd  # stage1 depthwise
+    assert "encoder.backbone.0.1.0.block.1.fc1.weight" in sd  # stage1 SE
+    assert "encoder.backbone.0.2.0.block.0.0.weight" in sd  # stage2 expand
+    assert "encoder.backbone.0.2.0.block.2.fc2.bias" in sd  # stage2 SE
+    assert "encoder.backbone.0.8.1.running_mean" in sd      # head BN state
+    assert "encoder.spatial_attention.0.weight" in sd
+    assert "encoder.projection.4.weight" in sd              # LayerNorm
+    assert "attention_refinement.attention_layers.1.in_proj_weight" in sd
+    assert "attention_refinement.norm_layers.3.bias" in sd
+    assert "attention_refinement.global_context.4.weight" in sd
+    assert "decoder.lstm_layers.2.weight_hh" in sd
+    assert "decoder.lstm_norms.0.weight" in sd
+    assert "decoder.highway_gate.0.weight" in sd
+    assert "decoder.output_projection.3.weight" in sd
+    assert "feature_compressor.2.weight" in sd
+    # the bug-fix projections must NOT be exported (no torch counterpart)
+    assert not any("query_projection" in k for k in sd)
+    assert not any("highway_context_projection" in k for k in sd)
+
+    p2, s2 = TC.enhanced_student_from_torch(sd, cfg, key=jax.random.PRNGKey(7))
+    _assert_tree_equal(s, s2)
+    # params identical except the two fresh projections
+    for extra in ("query_projection", "highway_context_projection"):
+        assert extra in p2["decoder"]
+        del p2["decoder"][extra]
+    pref = dict(p["decoder"])
+    del pref["query_projection"], pref["highway_context_projection"]
+    _assert_tree_equal({**p, "decoder": pref}, {**p2, "decoder": p2["decoder"]})
+
+    # param-count parity with torchvision efficientnet_b3.features: 10,696,232
+    n_backbone = sum(int(np.asarray(x).size)
+                     for x in jax.tree.leaves(p["encoder"]["backbone"]))
+    assert n_backbone == 10_696_232

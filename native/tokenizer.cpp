@@ -6,7 +6,11 @@
 //   * whitespace split
 //   * peel prefix punctuation ([({"'`$#@<) and suffix punctuation
 //     (.,!?:;"')]}%>) one char at a time
+//   * trailing ellipsis runs (2+ dots) peeled as ONE token; dot-runs also
+//     split as single infix tokens (spaCy ELLIPSES)
+//   * dotted single-LETTER acronyms ("u.k.", "a.") keep their final period
 //   * contraction suffixes n't 's 'm 're 've 'll 'd split off (case-insensitive)
+//   * whole-word exceptions: cannot gonna gotta wanna lemme gimme split in two
 //   * '-'/'/' infixes split into separate tokens when all pieces are wordish
 //   * everything lowercased (ASCII; multi-byte UTF-8 passes through)
 //
@@ -45,17 +49,45 @@ bool wordish(const std::string& s) {
   return false;
 }
 
+bool is_dot_run(const std::string& s) {
+  if (s.size() < 2) return false;
+  for (char c : s)
+    if (c != '.') return false;
+  return true;
+}
+
+// letters only: "u.k." / "a." stay whole (spaCy), "9." still splits
+bool is_dotted_acronym(const std::string& s) {
+  if (s.size() < 2 || s.size() % 2 != 0) return false;
+  for (size_t i = 0; i < s.size(); i += 2) {
+    unsigned char c = s[i];
+    if (!(std::isalpha(c) || c >= 0x80) || s[i + 1] != '.') return false;
+  }
+  return true;
+}
+
 void split_infix(const std::string& chunk, std::vector<std::string>* out) {
   if (chunk.empty()) return;
   std::vector<std::string> parts;
   std::string cur;
-  for (char c : chunk) {
-    if (c == '-' || c == '/') {
+  for (size_t i = 0; i < chunk.size();) {
+    char c = chunk[i];
+    if (c == '.' && i + 1 < chunk.size() && chunk[i + 1] == '.') {
+      // ellipsis run: one separator token (mirrors python \.{2,})
+      size_t j = i;
+      while (j < chunk.size() && chunk[j] == '.') ++j;
+      if (!cur.empty()) parts.push_back(cur);
+      parts.push_back(chunk.substr(i, j - i));
+      cur.clear();
+      i = j;
+    } else if (c == '-' || c == '/') {
       if (!cur.empty()) parts.push_back(cur);
       parts.push_back(std::string(1, c));
       cur.clear();
+      ++i;
     } else {
       cur.push_back(c);
+      ++i;
     }
   }
   if (!cur.empty()) parts.push_back(cur);
@@ -64,7 +96,7 @@ void split_infix(const std::string& chunk, std::vector<std::string>* out) {
     return;
   }
   for (const auto& p : parts) {
-    if (!(wordish(p) || p == "-" || p == "/")) {
+    if (!(wordish(p) || p == "-" || p == "/" || is_dot_run(p))) {
       out->push_back(chunk);  // keep whole, like the python fallback
       return;
     }
@@ -79,27 +111,54 @@ void split_chunk(std::string chunk, std::vector<std::string>* out) {
     chunk.erase(chunk.begin());
   }
   while (!chunk.empty() && is_suffix_punct(chunk.back())) {
+    if (chunk.back() == '.' && chunk.size() >= 2 &&
+        chunk[chunk.size() - 2] == '.') {
+      // trailing ellipsis run is ONE token
+      size_t j = chunk.size();
+      while (j > 0 && chunk[j - 1] == '.') --j;
+      suffix.push_back(chunk.substr(j));
+      chunk.erase(j);
+      continue;
+    }
+    if (chunk.back() == '.' && is_dotted_acronym(chunk)) {
+      break;  // "u.k." keeps its final period
+    }
     suffix.push_back(std::string(1, chunk.back()));
     chunk.pop_back();
   }
   for (const auto& p : prefix) out->push_back(p);
   if (!chunk.empty()) {
     std::string lowered = lower(chunk);
-    const std::string* matched = nullptr;
-    static const std::vector<std::string> contractions(
-        kContractions, kContractions + 7);
-    for (const auto& c : contractions) {
-      if (lowered.size() > c.size() &&
-          lowered.compare(lowered.size() - c.size(), c.size(), c) == 0) {
-        matched = &c;
+    // whole-word exceptions (spaCy en tokenizer_exceptions)
+    static const struct { const char* word; size_t split; } kExceptions[] = {
+        {"cannot", 3}, {"gonna", 3}, {"gotta", 3},
+        {"wanna", 3}, {"lemme", 3}, {"gimme", 3}};
+    bool exc_done = false;
+    for (const auto& e : kExceptions) {
+      if (lowered == e.word) {
+        out->push_back(chunk.substr(0, e.split));
+        out->push_back(chunk.substr(e.split));
+        exc_done = true;
         break;
       }
     }
-    if (matched) {
-      split_infix(chunk.substr(0, chunk.size() - matched->size()), out);
-      out->push_back(chunk.substr(chunk.size() - matched->size()));
-    } else {
-      split_infix(chunk, out);
+    const std::string* matched = nullptr;
+    static const std::vector<std::string> contractions(
+        kContractions, kContractions + 7);
+    if (!exc_done) {
+      for (const auto& c : contractions) {
+        if (lowered.size() > c.size() &&
+            lowered.compare(lowered.size() - c.size(), c.size(), c) == 0) {
+          matched = &c;
+          break;
+        }
+      }
+      if (matched) {
+        split_infix(chunk.substr(0, chunk.size() - matched->size()), out);
+        out->push_back(chunk.substr(chunk.size() - matched->size()));
+      } else {
+        split_infix(chunk, out);
+      }
     }
   }
   for (auto it = suffix.rbegin(); it != suffix.rend(); ++it)

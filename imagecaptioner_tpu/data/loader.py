@@ -38,6 +38,7 @@ class BatchLoader:
         seed: int = 0,
         batch_size_cap: Optional[int] = 16,
         prefetch: int = 2,
+        num_workers: int = 8,
     ):
         self.dataset = dataset
         bs = min(batch_size, len(dataset))
@@ -48,8 +49,22 @@ class BatchLoader:
         self.shuffle = shuffle
         self.drop_last = drop_last
         self.prefetch = prefetch
+        # PIL decode releases the GIL, so a thread pool parallelizes image
+        # loading like the reference's 4-8 DataLoader workers (N8) without
+        # process-spawn overhead.
+        self.num_workers = max(1, num_workers)
+        self._pool = None
         self._rng = np.random.default_rng(seed)
         self._epoch_tokens_cache: Optional[list] = None
+
+    def _decode_pool(self):
+        if self._pool is None and self.num_workers > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._pool = ThreadPoolExecutor(
+                max_workers=self.num_workers,
+                thread_name_prefix="ic-decode")
+        return self._pool
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -64,7 +79,12 @@ class BatchLoader:
     def _make_batch(self, idxs: np.ndarray) -> Dict[str, np.ndarray]:
         tokens = self._encode_all()
         b = len(idxs)
-        imgs = np.stack([self.dataset.load_image(int(i)) for i in idxs])
+        pool = self._decode_pool()
+        if pool is not None:
+            imgs = np.stack(list(pool.map(self.dataset.load_image,
+                                          (int(i) for i in idxs))))
+        else:
+            imgs = np.stack([self.dataset.load_image(int(i)) for i in idxs])
         caps = np.full((self.max_caption_len, b), PAD, dtype=np.int32)
         lengths = np.zeros((b,), dtype=np.int32)
         for j, i in enumerate(idxs):

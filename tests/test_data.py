@@ -194,3 +194,21 @@ def test_random_crop_bounds():
     x = jnp.arange(1 * 8 * 8 * 1, dtype=jnp.float32).reshape(1, 8, 8, 1)
     out = T.random_crop(jax.random.PRNGKey(3), x, 4)
     assert out.shape == (1, 4, 4, 1)
+
+
+def test_loader_parallel_decode_equivalence(tmp_path):
+    """Thread-pool decode must produce byte-identical batches to serial."""
+    from imagecaptioner_tpu.data.loader import BatchLoader
+    from imagecaptioner_tpu.data.synthetic import make_synthetic_dataset
+    from imagecaptioner_tpu.data.dataset import CaptionDataset
+
+    make_synthetic_dataset(str(tmp_path), n_images=20, captions_per_image=1,
+                           image_size=32, seed=0)
+    ds = CaptionDataset(str(tmp_path), str(tmp_path / "captions_clean.csv"),
+                        freq_threshold=1, image_size=32)
+    serial = BatchLoader(ds, batch_size=8, num_workers=1, shuffle=False)
+    pooled = BatchLoader(ds, batch_size=8, num_workers=8, shuffle=False)
+    for a, b in zip(serial, pooled):
+        np.testing.assert_array_equal(a["images"], b["images"])
+        np.testing.assert_array_equal(a["captions"], b["captions"])
+        np.testing.assert_array_equal(a["lengths"], b["lengths"])

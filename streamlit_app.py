@@ -91,46 +91,140 @@ def demo_caption_image(image_path: str, *, checkpoint_path: str = DEFAULT_CKPT,
 # ---------------------------------------------------------------------------
 
 
+_SESSION_KEYS = ("generate_both", "student_done", "teacher_done",
+                 "teacher_generating", "student_caption_result",
+                 "teacher_caption_result")
+
+
+def _model_info_lines(name: str, params) -> List[str]:
+    if name == "teacher":
+        return ["**Architecture:** Vision Transformer",
+                f"**Parameters:** ~{TM.count_parameters(params) / 1e6:.0f}M",
+                "**Encoder:** ViT-Small",
+                "**Decoder:** 4-layer Transformer"]
+    return ["**Architecture:** CNN-LSTM (demo: teacher @ T=1.1)",
+            "**Parameters:** ~8M (3x smaller)",
+            "**Encoder:** ResNet-50",
+            "**Decoder:** 2-layer LSTM",
+            "**Speed:** ~2-3x faster"]
+
+
 def streamlit_main():
+    """Three-column session-state machine reproducing the reference UI flow
+    (streamlit_app.py:223-433): generate_both/teacher_done/student_done keys,
+    per-column spinners + st.rerun, caption + word count + Model Info
+    expander, and a Clear button that resets the state machine."""
     import streamlit as st
 
-    st.set_page_config(page_title="Image Captioner — Teacher vs Student",
-                       layout="wide")
-    st.title("🖼️ Image Captioning: Teacher vs Student")
+    st.set_page_config(
+        page_title="Image Caption Generator - Teacher vs Student",
+        page_icon="📸", layout="wide")
+    st.title("📸 Image Caption Generator - Teacher vs Student Models")
+    st.markdown("Upload an image and compare captions from both the Teacher "
+                "(ViT-Transformer) and Student (CNN-LSTM) models!")
 
     @st.cache_resource
     def _load():
-        return load_models_and_vocab()
+        try:
+            # module globals resolved at call time (tests repoint them)
+            return load_models_and_vocab(DEFAULT_CKPT, DEFAULT_VOCAB)
+        except Exception:
+            return None, None, None
 
-    teacher, student, vocab = _load()
-    col_upload, col_teacher, col_student = st.columns(3)
+    with st.spinner("Loading AI models..."):
+        teacher, student, vocab = _load()
+    if teacher is None and student is None:
+        st.error("Failed to load any models. Please check if the model "
+                 "files exist.")
+        st.info("Make sure you have:")
+        st.code("- saved_models/best_teacher_model.npz\n"
+                "- saved_models/vocab.json")
+        return
+    st.success(f"✅ Models loaded successfully! Running on: "
+               f"{jax.devices()[0].platform}")
 
-    with col_upload:
-        st.header("Upload")
-        uploaded = st.file_uploader("Choose an image",
-                                    type=["jpg", "jpeg", "png"])
-        if uploaded:
-            st.image(uploaded, use_container_width=True)
-            if st.button("Generate Both Captions"):
-                st.session_state["stage"] = "generate_both"
+    col1, col2, col3 = st.columns([1, 1, 1])
 
-    if uploaded and st.session_state.get("stage") == "generate_both":
-        image = preprocess_image(Image.open(uploaded),
-                                 image_size=teacher[1].image_size)
-        with col_teacher:
-            st.header("Teacher (ViT, beam search)")
-            with st.spinner("Captioning..."):
-                cap = generate_caption_with_temperature(
-                    teacher, image, vocab, temperature=1.0)
-            st.success(cap)
-            st.caption(f"~{TM.count_parameters(teacher[0]) / 1e6:.0f}M params")
-        with col_student:
-            st.header("Student (temperature 1.1)")
-            with st.spinner("Captioning..."):
-                cap = generate_caption_with_temperature(
-                    student, image, vocab, temperature=1.1)
-            st.success(cap)
-        st.session_state["stage"] = "done"
+    with col1:
+        st.header("📷 Upload Image")
+        uploaded = st.file_uploader(
+            "Choose an image...", type=["jpg", "jpeg", "png", "bmp", "tiff"],
+            help="Upload an image file (JPG, PNG, etc.)")
+        if uploaded is not None:
+            pil_img = Image.open(uploaded)
+            st.image(pil_img, caption="Uploaded Image",
+                     use_container_width=True)
+            st.info(f"📊 Size: {pil_img.size[0]} x {pil_img.size[1]} px")
+            if st.button("🔮 Generate Captions", type="primary",
+                         use_container_width=True):
+                st.session_state.generate_both = True
+                st.session_state.student_done = False
+                st.session_state.teacher_done = False
+                st.rerun()
+
+    def render_model_column(name: str, model, temperature: float):
+        """One model column of the state machine: generate when pending,
+        replay the cached result when done, hint otherwise."""
+        done_key, result_key = f"{name}_done", f"{name}_caption_result"
+        pending = (uploaded is not None
+                   and st.session_state.get("generate_both", False)
+                   and not st.session_state.get(done_key, False))
+
+        def show(caption: str):
+            st.success("✅ Caption Generated!")
+            st.markdown("### 💬 Caption:")
+            st.markdown(f'*"{caption}"*')
+            st.info(f"📝 Words: {len(caption.split())}")
+            with st.expander("📊 Model Info"):
+                for line in _model_info_lines(name, model[0]):
+                    st.write(line)
+
+        if pending:
+            generated = False
+            with st.spinner(f"{name.title()} generating..."):
+                try:
+                    image = preprocess_image(pil_img,
+                                             image_size=model[1].image_size)
+                    caption = generate_caption_with_temperature(
+                        model, image, vocab, temperature=temperature,
+                        max_length=25)
+                    if caption.strip():
+                        show(caption)
+                        st.session_state[result_key] = caption
+                        generated = True
+                    else:
+                        st.warning("empty caption")
+                    st.session_state[done_key] = True
+                except Exception as e:
+                    st.error(f"{name.title()} error: {e}")
+                    st.session_state[done_key] = True
+            if generated:
+                # outside the try: st.rerun raises a control-flow exception
+                # that must not be swallowed by the error handler
+                st.rerun()
+        elif uploaded is not None and st.session_state.get(done_key, False):
+            if result_key in st.session_state:
+                show(st.session_state[result_key])
+        elif st.session_state.get("generate_both", False):
+            st.info(f"⏳ {name.title()} generating...")
+        else:
+            st.info("👈 Upload image and click generate")
+
+    with col2:
+        st.header("🎓 Teacher Model")
+        st.markdown("**ViT-Transformer** "
+                    f"(~{TM.count_parameters(teacher[0]) / 1e6:.0f}M params)")
+        render_model_column("teacher", teacher, 1.0)
+
+    with col3:
+        st.header("🎒 Student Model")
+        render_model_column("student", student, 1.1)
+
+    if uploaded is not None:
+        if st.button("🗑️ Clear Image"):
+            for key in _SESSION_KEYS:
+                st.session_state.pop(key, None)
+            st.rerun()
 
 
 def main():

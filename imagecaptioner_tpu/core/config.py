@@ -94,6 +94,9 @@ class StudentConfig:
     use_attention_refinement: bool = True
     feature_tokens: int = 49         # 7x7 spatial locations (8x8=64 for enhanced)
     image_size: int = 224
+    # decoder recurrence implementation: "scan" (lax.scan, any platform) or
+    # "pallas" (fused TPU kernel fwd + custom-VJP bwd; full 2-layer variant)
+    decoder_impl: str = "scan"
 
 
 def _student_cfg(defaults: dict, over: dict) -> StudentConfig:

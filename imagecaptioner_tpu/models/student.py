@@ -207,8 +207,15 @@ def student_apply(
     r_enc, r_dec = M.split_rngs(rng, 2)
     raw, refined, new_s = encode_image(p, s, images, cfg, train=train, rng=r_enc)
     if cfg.variant == "full":
-        logits, hiddens, attns = L.full_decoder_apply(
-            p["decoder"], refined, captions, cfg, train=train, rng=r_dec)
+        if cfg.decoder_impl == "pallas" and cfg.num_layers == 2:
+            from imagecaptioner_tpu.ops.pallas_lstm import (
+                pallas_full_decoder_scan_train)
+
+            logits, hiddens, attns = pallas_full_decoder_scan_train(
+                p["decoder"], refined, captions, cfg, train=train, rng=r_dec)
+        else:
+            logits, hiddens, attns = L.full_decoder_apply(
+                p["decoder"], refined, captions, cfg, train=train, rng=r_dec)
     else:
         logits, hiddens, attns = L.compact_decoder_apply(
             p["decoder"], refined, captions, cfg, train=train, rng=r_dec)

@@ -107,7 +107,12 @@ def train_student_with_kd(
     vocab_size = len(vocab)
 
     teacher_params, t_cfg = load_teacher(teacher_checkpoint, vocab_size)
-    s_cfg = full_student_config(vocab_size, dropout=tr.dropout)
+    # fused Pallas decoder (custom-VJP) on real TPU; lax.scan elsewhere
+    import jax as _jax
+
+    s_cfg = full_student_config(
+        vocab_size, dropout=tr.dropout,
+        decoder_impl="pallas" if _jax.default_backend() == "tpu" else "scan")
 
     key = jax.random.PRNGKey(seed)
     k_init, k_proj, key = jax.random.split(key, 3)

@@ -50,3 +50,95 @@ def test_pallas_scan_production_dims():
                                             interpret=INTERPRET)
     np.testing.assert_allclose(np.asarray(h), np.asarray(ref_h),
                                atol=5e-5, rtol=1e-3)
+
+
+@pytest.mark.parametrize("T,B,Lf", [(6, 2, 9), (10, 4, 49)])
+def test_pallas_train_grads_match_scan_autodiff(T, B, Lf):
+    """custom-VJP fused decoder: grads wrt every param + image features must
+    match jax.grad through the lax.scan reference path."""
+    from imagecaptioner_tpu.ops.pallas_lstm import (
+        pallas_full_decoder_scan_train)
+
+    cfg = full_student_config(vocab_size=50, embed_size=16, hidden_size=24,
+                              dropout=0.0)
+    p = L.full_decoder_init(jax.random.PRNGKey(0), cfg)
+    feats = jax.random.normal(jax.random.PRNGKey(1), (B, Lf, cfg.embed_size))
+    captions = jax.random.randint(jax.random.PRNGKey(2), (T, B), 0, 50)
+    # random cotangent weights so every output position matters
+    r1 = jax.random.normal(jax.random.PRNGKey(3), (T, B, cfg.vocab_size))
+    r2 = jax.random.normal(jax.random.PRNGKey(4), (T, B, cfg.hidden_size))
+    r3 = jax.random.normal(jax.random.PRNGKey(5), (T, B, Lf))
+
+    def loss(fn):
+        def f(p, feats):
+            logits, h, attn = fn(p, feats, captions, cfg)
+            return (jnp.sum(logits * r1) + jnp.sum(h * r2)
+                    + jnp.sum(attn * r3))
+        return f
+
+    ref_val, ref_grads = jax.value_and_grad(
+        loss(lambda p, f, c, cfg: L.full_decoder_apply(p, f, c, cfg,
+                                                       train=False)),
+        argnums=(0, 1))(p, feats)
+    new_val, new_grads = jax.value_and_grad(
+        loss(lambda p, f, c, cfg: pallas_full_decoder_scan_train(
+            p, f, c, cfg, interpret=INTERPRET)),
+        argnums=(0, 1))(p, feats)
+
+    np.testing.assert_allclose(new_val, ref_val, rtol=2e-5)
+    flat_ref = jax.tree.leaves_with_path(ref_grads)
+    flat_new = jax.tree.leaves(new_grads)
+    assert len(flat_ref) == len(flat_new)
+    for (path, a), b in zip(flat_ref, flat_new):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=2e-4, atol=2e-5,
+            err_msg=str(path))
+
+
+def test_pallas_train_forward_matches_eval_kernel():
+    cfg = full_student_config(vocab_size=50, embed_size=16, hidden_size=24,
+                              dropout=0.0)
+    from imagecaptioner_tpu.ops.pallas_lstm import (
+        pallas_full_decoder_scan_train)
+
+    p = L.full_decoder_init(jax.random.PRNGKey(0), cfg)
+    feats = jax.random.normal(jax.random.PRNGKey(1), (3, 9, cfg.embed_size))
+    captions = jax.random.randint(jax.random.PRNGKey(2), (7, 3), 0, 50)
+    a = pallas_full_decoder_scan(p, feats, captions, cfg, interpret=INTERPRET)
+    b = pallas_full_decoder_scan_train(p, feats, captions, cfg,
+                                       interpret=INTERPRET)
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), rtol=1e-6)
+
+
+def test_pallas_train_dropout_matches_scan_path():
+    """With train=True the fused path must reproduce the scan path's exact
+    dropout masks (same fold_in/split derivation) — values AND grads."""
+    from imagecaptioner_tpu.ops.pallas_lstm import (
+        pallas_full_decoder_scan_train)
+
+    cfg = full_student_config(vocab_size=40, embed_size=16, hidden_size=24,
+                              dropout=0.3)
+    p = L.full_decoder_init(jax.random.PRNGKey(0), cfg)
+    feats = jax.random.normal(jax.random.PRNGKey(1), (3, 9, cfg.embed_size))
+    captions = jax.random.randint(jax.random.PRNGKey(2), (8, 3), 0, 40)
+    rng = jax.random.PRNGKey(11)
+    r1 = jax.random.normal(jax.random.PRNGKey(3), (8, 3, cfg.vocab_size))
+
+    def loss_ref(p, feats):
+        logits, h, a = L.full_decoder_apply(p, feats, captions, cfg,
+                                            train=True, rng=rng)
+        return jnp.sum(logits * r1)
+
+    def loss_new(p, feats):
+        logits, h, a = pallas_full_decoder_scan_train(
+            p, feats, captions, cfg, train=True, rng=rng,
+            interpret=INTERPRET)
+        return jnp.sum(logits * r1)
+
+    ref_val, ref_grads = jax.value_and_grad(loss_ref, argnums=(0, 1))(p, feats)
+    new_val, new_grads = jax.value_and_grad(loss_new, argnums=(0, 1))(p, feats)
+    np.testing.assert_allclose(new_val, ref_val, rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(ref_grads), jax.tree.leaves(new_grads)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-4, atol=2e-5)

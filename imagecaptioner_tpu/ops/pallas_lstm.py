@@ -20,10 +20,12 @@ Per step, in-kernel (bf16 matmuls, f32 accumulation and cell state):
   ctx = w @ feats; x0 = embW[t] + ctx @ W_c + b_c;
   2x LSTM cells (torch gate order).
 
-The kernel is forward-only (decode/eval paths); training uses the
-differentiable ``lax.scan`` in models/lstm.py.  Numerical parity is tested in
-tests/test_pallas_lstm.py (interpret mode on CPU; IC_TPU_TESTS=1 compiles on
-the real chip).
+``pallas_full_decoder_scan`` is the eval/decode forward;
+``pallas_full_decoder_scan_train`` is the TRAINABLE path — same kernel
+streaming residual trajectories out, wrapped in a custom VJP whose backward
+is an analytic reverse ``lax.scan`` (see _fused_core_bwd).  Value and
+gradient parity vs models/lstm.py is tested in tests/test_pallas_lstm.py
+(interpret mode on CPU; IC_TPU_TESTS=1 compiles on the real chip).
 """
 
 from __future__ import annotations

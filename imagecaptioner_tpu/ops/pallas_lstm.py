@@ -31,6 +31,7 @@ gradient parity vs models/lstm.py is tested in tests/test_pallas_lstm.py
 from __future__ import annotations
 
 import functools
+import math
 from typing import Dict, Optional, Tuple
 
 import jax
@@ -39,6 +40,53 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from imagecaptioner_tpu.core.config import StudentConfig
+
+# The whole-sequence kernel keeps weights + T-length streams resident in
+# VMEM, so it must declare its budget: Mosaic's default scoped-VMEM limit is
+# 16 MiB, while v5e has 128 MiB physical.  Above the cap we fall back to the
+# lax.scan path rather than risk a compile-time OOM (seen at f32/T=48).
+_VMEM_CAP_BYTES = 100 * 1024 * 1024
+
+
+def _nbytes(shape, dtype) -> int:
+    return math.prod(shape) * jnp.dtype(dtype).itemsize
+
+
+def _vmem_estimate(arrays, extra_shapes=(), scratch_bytes=0) -> int:
+    """Estimated scoped-VMEM bytes: operands + outputs + scratch, with a
+    20% layout/padding margin + 2 MiB (Mosaic pads tiles and double-buffers
+    small ops; calibrated against its 16.11M report for a 16.8M raw sum)."""
+    total = sum(_nbytes(a.shape, a.dtype) for a in arrays)
+    total += sum(_nbytes(s, d) for s, d in extra_shapes)
+    total += scratch_bytes
+    return int(total * 1.2) + (2 << 20)
+
+
+def _vmem_params(est: int) -> pltpu.CompilerParams:
+    return pltpu.CompilerParams(
+        vmem_limit_bytes=max(est, 16 * 1024 * 1024))
+
+
+def fused_train_vmem_estimate(cfg: StudentConfig, T: int, B: int, L: int,
+                              itemsize: int) -> int:
+    """Analytic VMEM estimate for the trainable kernel (must mirror
+    _fused_core_fwd_call's operand/output list)."""
+    E, H = cfg.embed_size, cfg.hidden_size
+    s = itemsize
+    operands = (T * B * E * s + 2 * B * L * E * s            # emb_w, f_proj, feats
+                + H * E * s + E * E * s + E * 4              # w_h, w_c, b_c
+                + (E + 3 * H) * 4 * H * s + 2 * 4 * H * 4    # lstm weights+biases
+                + T * B * H * 4)                             # dropout mask
+    outs = (2 * T * B * H * s       # h_tops, h0 trajectory
+            + T * B * L * 4         # attn
+            + 2 * T * B * H * 4)    # c0, c1 (f32)
+    scratch = 4 * B * H * 4
+    return int((operands + outs + scratch) * 1.2) + (2 << 20)
+
+
+def fused_train_fits_vmem(cfg: StudentConfig, T: int, B: int, L: int,
+                          itemsize: int) -> bool:
+    return fused_train_vmem_estimate(cfg, T, B, L, itemsize) <= _VMEM_CAP_BYTES
 
 
 def _kernel_train(emb_w_ref, f_proj_ref, feats_ref,
@@ -209,6 +257,10 @@ def pallas_full_decoder_scan(
         sp["w_ih1"].astype(dtype), sp["w_hh1"].astype(dtype),
         sp["b1"].astype(jnp.float32),
     ]
+    est = _vmem_estimate(
+        operands,
+        extra_shapes=[((T, B, H), dtype), ((T, B, L), jnp.float32)],
+        scratch_bytes=4 * B * H * 4)
     h_tops, attns = pl.pallas_call(
         _kernel,
         out_shape=(
@@ -224,6 +276,7 @@ def pallas_full_decoder_scan(
             pltpu.VMEM((B, H), jnp.float32),
             pltpu.VMEM((B, H), jnp.float32),
         ],
+        compiler_params=_vmem_params(est),
         interpret=interpret,
     )(*operands)
 
@@ -250,6 +303,12 @@ def _fused_core_fwd_call(emb_w, f_proj, feats, mask, w_h, w_c,
     b_c = jnp.zeros((1, E), jnp.float32)
     operands = [emb_w, f_proj, feats, w_h, w_c, b_c,
                 w_ih0, w_hh0, b0, w_ih1, w_hh1, b1, mask]
+    est = _vmem_estimate(
+        operands,
+        extra_shapes=[((T, B, H), dtype), ((T, B, L), jnp.float32),
+                      ((T, B, H), dtype), ((T, B, H), jnp.float32),
+                      ((T, B, H), jnp.float32)],
+        scratch_bytes=4 * B * H * 4)
     return pl.pallas_call(
         _kernel_train,
         out_shape=(
@@ -263,6 +322,7 @@ def _fused_core_fwd_call(emb_w, f_proj, feats, mask, w_h, w_c,
         out_specs=tuple(pl.BlockSpec(memory_space=pltpu.VMEM)
                         for _ in range(5)),
         scratch_shapes=[pltpu.VMEM((B, H), jnp.float32) for _ in range(4)],
+        compiler_params=_vmem_params(est),
         interpret=interpret,
     )(*operands)
 
@@ -443,6 +503,14 @@ def pallas_full_decoder_scan_train(
     dtype = image_features.dtype
     T, B = captions.shape
     H = cfg.hidden_size
+    if not fused_train_fits_vmem(cfg, T, B, image_features.shape[1],
+                                 jnp.dtype(dtype).itemsize):
+        # whole-sequence residency would exceed VMEM — use the (numerically
+        # identical, test-enforced) lax.scan path for this shape
+        from imagecaptioner_tpu.models.lstm import full_decoder_apply
+
+        return full_decoder_apply(p, image_features, captions, cfg,
+                                  train=train, rng=rng)
     base_rng = rng if rng is not None else jax.random.PRNGKey(0)
     if train and cfg.dropout > 0.0:
         keep = 1.0 - cfg.dropout

@@ -23,7 +23,20 @@ def main():
     ap.add_argument("--epochs-kd", type=int, default=8)
     ap.add_argument("--images", type=int, default=192)
     ap.add_argument("--skip-teacher", action="store_true")
+    ap.add_argument("--skip-kd", action="store_true",
+                    help="reuse existing student checkpoint, just re-report")
     ap.add_argument("--out", default="docs/demo_run.md")
+    # Flagged DEVIATIONS from the reference recipe, for the grounding demo
+    # only (the reference fine-tunes a *pretrained* ResNet-50 with CE weight
+    # exactly 0; from-scratch in this container that recipe learns grammar
+    # before grounding — see docs/demo_run.md):
+    ap.add_argument("--ce-weight", type=float, default=0.0,
+                    help="ground-truth CE coefficient; taken out of alpha "
+                         "(token-KD) so the weights still sum to 1")
+    ap.add_argument("--encoder-lr-scale", type=float, default=None,
+                    help="override the reference's 0.1 encoder LR scale "
+                         "(sane for from-scratch encoders)")
+    ap.add_argument("--patience", type=int, default=None)
     args = ap.parse_args()
 
     from imagecaptioner_tpu.core.runtime import enable_compile_cache
@@ -35,7 +48,7 @@ def main():
     import numpy as np
 
     from imagecaptioner_tpu.core.config import (
-        KDTrainConfig, TeacherTrainConfig)
+        DistillConfig, KDTrainConfig, TeacherTrainConfig)
     from imagecaptioner_tpu.data.synthetic import make_synthetic_dataset
     from imagecaptioner_tpu.train.train_student_kd import train_student_with_kd
     from imagecaptioner_tpu.train.train_teacher import train as train_teacher
@@ -62,12 +75,26 @@ def main():
                                          learning_rate=3e-4),
             verbose=True)
 
-    print("=== KD ===", flush=True)
-    train_student_with_kd(
-        data, teacher_checkpoint=os.path.join(out, "best_teacher_model.npz"),
-        output_dir=out,
-        train_cfg=KDTrainConfig(num_epochs=args.epochs_kd, validate_every=1),
-        verbose=True)
+    kd_kw = dict(num_epochs=args.epochs_kd, validate_every=1)
+    if args.encoder_lr_scale is not None:
+        kd_kw["encoder_lr_scale"] = args.encoder_lr_scale
+    if args.patience is not None:
+        kd_kw["patience"] = args.patience
+    d_cfg = DistillConfig()
+    if args.ce_weight:
+        # keep alpha+beta+gamma+ce == 1 by paying CE out of token-KD alpha
+        d_cfg = DistillConfig(alpha=d_cfg.alpha - args.ce_weight)
+
+    if args.skip_kd and os.path.exists(
+            os.path.join(out, "best_student_model.npz")):
+        print("=== KD: reusing existing checkpoint ===", flush=True)
+    else:
+        print("=== KD ===", flush=True)
+        train_student_with_kd(
+            data, teacher_checkpoint=os.path.join(out,
+                                                  "best_teacher_model.npz"),
+            output_dir=out, train_cfg=KDTrainConfig(**kd_kw),
+            distill_cfg=d_cfg, verbose=True)
 
     # sample captions from both models on train images
     from imagecaptioner_tpu.eval.evaluate_student import load_student_evaluator
@@ -79,18 +106,39 @@ def main():
         os.path.join(out, "vocab.json"))
     ds = CaptionDataset(data, os.path.join(data, "captions_clean.csv"),
                         vocab=ev.vocab, image_size=224)
-    report = ev.compare_models_on_dataset(ds, max_samples=12,
+    report = ev.compare_models_on_dataset(ds, max_samples=16,
                                           measure_latency_samples=2,
                                           verbose=False)
+
+    # Grounding evidence (VERDICT r1 #4): the student must BEAT the best
+    # *constant* caption — i.e. its captions must vary with the image.
+    from imagecaptioner_tpu.eval import metrics as MET
+
+    rows = report["comparisons"]
+    refs = [r["reference"].lower().split() for r in rows]
+    s_caps = [r["student"] for r in rows]
+    distinct = len(set(s_caps))
+    const_baseline = max(
+        float(np.mean([MET.bleu_n(c, ref, 1) for ref in refs]))
+        for c in ({tuple(ref) for ref in refs} | {tuple(c.lower().split())
+                                                  for c in s_caps}))
 
     t_hist = json.load(open(os.path.join(out, "training_history.json")))
     s_hist = json.load(open(os.path.join(out,
                                          "student_training_history.json")))
+    dev = []
+    if args.ce_weight:
+        dev.append(f"CE weight {args.ce_weight} (paid out of token-KD alpha)")
+    if args.encoder_lr_scale is not None:
+        dev.append(f"encoder LR scale {args.encoder_lr_scale} (ref: 0.1)")
     lines = [
         "# End-to-end convergence demo (synthetic data, real TPU)",
         "",
         f"{args.images} synthetic images, 1 caption each; production-size "
         "models (ViT-S/16 512/8/4 teacher; ResNet-50 full student).",
+        "Flagged deviations from the reference recipe (from-scratch "
+        f"backbones, no pretrained weights in this container): "
+        f"{'; '.join(dev) if dev else 'none'}.",
         "",
         "## Teacher",
         f"- train losses: {[round(x,3) for x in t_hist['train_losses']]}",
@@ -102,15 +150,18 @@ def main():
         f"- val BLEU-1 (monitoring): "
         f"{[round(x,3) for x in s_hist['val_bleu_scores']]}",
         "",
-        "## Final comparison (12 samples)",
+        f"## Final comparison ({len(rows)} samples)",
         f"- student BLEU-1 {report['student']['bleu1']:.3f}, "
         f"teacher BLEU-1 {report['teacher']['bleu1']:.3f}",
         f"- student METEOR {report['student']['meteor']:.3f}, "
         f"teacher METEOR {report['teacher']['meteor']:.3f}",
+        f"- grounding: {distinct} distinct student captions over {len(rows)} "
+        f"images; best constant-caption BLEU-1 {const_baseline:.3f} "
+        f"({'BEATEN' if report['student']['bleu1'] > const_baseline else 'NOT beaten'} by the student)",
         "",
         "## Sample captions",
     ]
-    for row in report["comparisons"][:6]:
+    for row in report["comparisons"][:8]:
         lines.append(f"- ref: `{row['reference']}`")
         lines.append(f"  - teacher: `{row['teacher']}`")
         lines.append(f"  - student: `{row['student']}`")

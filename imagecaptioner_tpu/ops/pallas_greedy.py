@@ -30,7 +30,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from imagecaptioner_tpu.core.config import StudentConfig
 from imagecaptioner_tpu.data.vocabulary import END, PAD, START
-from imagecaptioner_tpu.ops.pallas_lstm import _split_params
+from imagecaptioner_tpu.ops.pallas_lstm import (
+    _split_params, _vmem_estimate, _vmem_params)
 
 
 def _make_kernel(T: int, temperature: float):
@@ -217,6 +218,9 @@ def pallas_greedy_decode_compact(
         p["output_projection"]["weight"].T.astype(dtype),
         p["output_projection"]["bias"].astype(jnp.float32)[None, :],
     ]
+    est = _vmem_estimate(
+        operands, extra_shapes=[((B, max_length), jnp.int32)],
+        scratch_bytes=(2 * B * H + 2 * B + B * max(128, max_length)) * 4)
     return pl.pallas_call(
         _make_compact_kernel(max_length, temperature),
         out_shape=jax.ShapeDtypeStruct((B, max_length), jnp.int32),
@@ -229,6 +233,7 @@ def pallas_greedy_decode_compact(
             pltpu.VMEM((B, 1), jnp.int32),
             pltpu.VMEM((B, max(128, max_length)), jnp.int32),
         ],
+        compiler_params=_vmem_params(est),
         interpret=interpret,
     )(*operands)
 
@@ -268,6 +273,9 @@ def pallas_greedy_decode_student(
         op["fc2"]["weight"].T.astype(dtype),
         op["fc2"]["bias"].astype(jnp.float32)[None, :],
     ]
+    est = _vmem_estimate(
+        operands, extra_shapes=[((B, max_length), jnp.int32)],
+        scratch_bytes=(4 * B * H + 2 * B + B * max(128, max_length)) * 4)
     out = pl.pallas_call(
         _make_kernel(max_length, temperature),
         out_shape=jax.ShapeDtypeStruct((B, max_length), jnp.int32),
@@ -282,6 +290,7 @@ def pallas_greedy_decode_student(
             pltpu.VMEM((B, 1), jnp.int32),
             pltpu.VMEM((B, max(128, max_length)), jnp.int32),
         ],
+        compiler_params=_vmem_params(est),
         interpret=interpret,
     )(*operands)
     return out

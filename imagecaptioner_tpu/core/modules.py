@@ -194,11 +194,19 @@ def multi_head_attention(
     train: bool = False,
     rng: Optional[jax.Array] = None,
     need_weights: bool = False,
+    causal: bool = False,
+    attn_impl: Optional[str] = None,
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
     """torch nn.MultiheadAttention forward (batch-first layout internally).
 
     Returns (output (B, Lq, E), attn_weights (B, Lq, Lk) averaged over heads
     when ``need_weights``).
+
+    ``causal=True`` declares that ``attn_mask`` (if any) is the standard
+    causal mask — that lets the fused Pallas attention core build the mask
+    in-kernel.  ``attn_impl``: "pallas" | "xla" | None (None = runtime
+    policy: fused on real TPU).  Weight-dropout, ``need_weights``, and
+    non-causal masks always use the XLA path.
     """
     e = query.shape[-1]
     w_q, w_k, w_v = jnp.split(p["in_proj_weight"], 3, axis=0)
@@ -220,16 +228,30 @@ def multi_head_attention(
     v = _split_heads(proj(value, w_v, b_v), num_heads)
 
     scale = 1.0 / math.sqrt(e // num_heads)
-    logits = jnp.einsum(
-        "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32) * scale
-    if attn_mask is not None:
-        logits = jnp.where(attn_mask[None, None, :, :], -jnp.inf, logits)
-    weights = jax.nn.softmax(logits, axis=-1)
-    if train and dropout_rate > 0.0:
-        weights = dropout(rng, weights, dropout_rate, train)
-    out = jnp.einsum(
-        "bhqk,bhkd->bhqd", weights.astype(v.dtype), v,
-        preferred_element_type=jnp.float32).astype(v.dtype)
+    from imagecaptioner_tpu.ops.pallas_attention import default_attn_impl
+
+    impl = attn_impl or default_attn_impl()
+    use_fused = (impl == "pallas" and not need_weights
+                 and not (train and dropout_rate > 0.0)
+                 and (attn_mask is None or causal)
+                 and (not causal or q.shape[2] == k.shape[2]))
+    if use_fused:
+        from imagecaptioner_tpu.ops.pallas_attention import (
+            fused_attention_core)
+
+        out = fused_attention_core(q, k, v, causal, scale)
+    else:
+        logits = jnp.einsum(
+            "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+        ) * scale
+        if attn_mask is not None:
+            logits = jnp.where(attn_mask[None, None, :, :], -jnp.inf, logits)
+        weights = jax.nn.softmax(logits, axis=-1)
+        if train and dropout_rate > 0.0:
+            weights = dropout(rng, weights, dropout_rate, train)
+        out = jnp.einsum(
+            "bhqk,bhkd->bhqd", weights.astype(v.dtype), v,
+            preferred_element_type=jnp.float32).astype(v.dtype)
     b, h, lq, d = out.shape
     out = out.transpose(0, 2, 1, 3).reshape(b, lq, h * d)
     out = dense(p["out_proj"], out)

@@ -98,7 +98,7 @@ def teacher_apply(
     T = captions.shape[0]
     x = TD.decoder_apply(p["decoder"], x, memory, num_heads=cfg.num_heads,
                          tgt_mask=M.causal_mask(T), dropout=cfg.dropout,
-                         train=train, rng=r_dec)
+                         train=train, rng=r_dec, tgt_causal=True)
     x = M.layer_norm(p["pre_output_norm"], x)
     x = M.dropout(r_out, x, cfg.dropout, train)
     logits = M.dense(p["fc_out"], x)  # (B, T, V)

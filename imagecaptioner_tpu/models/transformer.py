@@ -39,12 +39,15 @@ def decoder_layer_apply(
     p: Params, x: jnp.ndarray, memory: jnp.ndarray, *, num_heads: int,
     tgt_mask: Optional[jnp.ndarray] = None, dropout: float = 0.0,
     train: bool = False, rng: Optional[jax.Array] = None,
+    tgt_causal: bool = False,
 ) -> jnp.ndarray:
-    """Post-LN decoder layer. x (B, T, E), memory (B, L, E)."""
+    """Post-LN decoder layer. x (B, T, E), memory (B, L, E).
+    ``tgt_causal`` declares tgt_mask is the standard causal mask (lets the
+    fused attention kernel build it in-kernel on TPU)."""
     r = M.split_rngs(rng, 6)
     sa, _ = M.multi_head_attention(
         p["self_attn"], x, x, x, num_heads=num_heads, attn_mask=tgt_mask,
-        dropout_rate=dropout, train=train, rng=r[0])
+        dropout_rate=dropout, train=train, rng=r[0], causal=tgt_causal)
     x = M.layer_norm(p["norm1"], x + M.dropout(r[1], sa, dropout, train))
     ca, _ = M.multi_head_attention(
         p["multihead_attn"], x, memory, memory, num_heads=num_heads,
@@ -65,13 +68,13 @@ def decoder_apply(
     layers: List[Params], x: jnp.ndarray, memory: jnp.ndarray, *,
     num_heads: int, tgt_mask: Optional[jnp.ndarray] = None,
     dropout: float = 0.0, train: bool = False,
-    rng: Optional[jax.Array] = None,
+    rng: Optional[jax.Array] = None, tgt_causal: bool = False,
 ) -> jnp.ndarray:
     keys = M.split_rngs(rng, len(layers))
     for p, k in zip(layers, keys):
         x = decoder_layer_apply(p, x, memory, num_heads=num_heads,
                                 tgt_mask=tgt_mask, dropout=dropout,
-                                train=train, rng=k)
+                                train=train, rng=k, tgt_causal=tgt_causal)
     return x
 
 

@@ -1,0 +1,128 @@
+"""Fused Pallas TPU attention core (SURVEY §2.9 N2).
+
+Replaces the XLA einsum->softmax->einsum attention core in
+``core.modules.multi_head_attention`` (reference: torch
+nn.MultiheadAttention inside src/teacher_model.py's TransformerDecoder) and
+the ViT block MHSA (src/teacher_model.py ViT-S/16 backbone, 197 tokens).
+
+One grid program per (batch, head): scores, the f32 softmax, and the
+context matmul all happen in VMEM — the (Lq, Lk) probability matrix never
+round-trips to HBM (the XLA path materializes (B, H, Lq, Lk) between the
+two matmuls).  QKV/out projections stay outside: they are large
+MXU-friendly matmuls XLA already handles at full tilt.
+
+Differentiable: a custom VJP recomputes the identical XLA core under
+``jax.vjp`` in the backward — numerics match the non-fused path (the
+parity tests cover values and gradients), so the kernel is usable in
+training as well as for the frozen-teacher KD forward and beam decode.
+
+Supported: optional static ``causal`` masking (the teacher decoder's
+self-attention; requires Lq == Lk as in training-time teacher forcing).
+Attention-weight dropout and ``need_weights`` fall back to the XLA path in
+``multi_head_attention``.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def default_attn_impl() -> str:
+    """Runtime policy: fused kernel on real TPU, XLA elsewhere (CPU tests
+    run the kernel in interpret mode explicitly where they test parity)."""
+    return "pallas" if jax.default_backend() == "tpu" else "xla"
+
+
+def attention_core_xla(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                       *, causal: bool, scale: float) -> jnp.ndarray:
+    """Reference core: q (B,H,Lq,D), k/v (B,H,Lk,D) -> (B,H,Lq,D).
+    Mirrors core.modules.multi_head_attention's unmasked/causal math."""
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    if causal:
+        lq, lk = logits.shape[-2], logits.shape[-1]
+        row = jax.lax.broadcasted_iota(jnp.int32, (lq, lk), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (lq, lk), 1)
+        logits = jnp.where((col > row)[None, None], -jnp.inf, logits)
+    probs = jax.nn.softmax(logits, axis=-1)
+    return jnp.einsum("bhqk,bhkd->bhqd", probs.astype(v.dtype), v,
+                      preferred_element_type=jnp.float32).astype(v.dtype)
+
+
+def _make_kernel(causal: bool, scale: float):
+    def kernel(q_ref, k_ref, v_ref, o_ref):
+        q = q_ref[0]          # (Lq, D)
+        k = k_ref[0]          # (Lk, D)
+        v = v_ref[0]
+        s = jax.lax.dot_general(
+            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        if causal:
+            lq, lk = s.shape
+            row = jax.lax.broadcasted_iota(jnp.int32, (lq, lk), 0)
+            col = jax.lax.broadcasted_iota(jnp.int32, (lq, lk), 1)
+            s = jnp.where(col > row, -jnp.inf, s)
+        p = jax.nn.softmax(s, axis=-1)
+        o_ref[0] = jax.lax.dot_general(
+            p.astype(v.dtype), v, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(v.dtype)
+
+    return kernel
+
+
+def _kernel_call(q, k, v, causal: bool, scale: float, interpret: bool):
+    B, H, Lq, D = q.shape
+    Lk = k.shape[2]
+    qf = q.reshape(B * H, Lq, D)
+    kf = k.reshape(B * H, Lk, D)
+    vf = v.reshape(B * H, Lk, D)
+    # per-program VMEM: q/k/v blocks + f32 score matrix + out
+    est = (q.dtype.itemsize * (Lq + 2 * Lk) * D + 4 * Lq * Lk
+           + q.dtype.itemsize * Lq * D)
+    est = int(est * 1.3) + (2 << 20)
+    out = pl.pallas_call(
+        _make_kernel(causal, scale),
+        grid=(B * H,),
+        out_shape=jax.ShapeDtypeStruct((B * H, Lq, D), q.dtype),
+        in_specs=[
+            pl.BlockSpec((1, Lq, D), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Lk, D), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Lk, D), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, Lq, D), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=max(est, 16 * 1024 * 1024)),
+        interpret=interpret,
+    )(qf, kf, vf)
+    return out.reshape(B, H, Lq, D)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def fused_attention_core(q, k, v, causal: bool = False, scale: float = 1.0,
+                         interpret: bool = False):
+    """Fused (B,H,Lq,D) attention core; backward recomputes via XLA."""
+    return _kernel_call(q, k, v, causal, scale, interpret)
+
+
+def _fwd(q, k, v, causal, scale, interpret):
+    return _kernel_call(q, k, v, causal, scale, interpret), (q, k, v)
+
+
+def _bwd(causal, scale, interpret, res, g):
+    q, k, v = res
+    _, vjp = jax.vjp(
+        lambda q_, k_, v_: attention_core_xla(q_, k_, v_, causal=causal,
+                                              scale=scale), q, k, v)
+    return vjp(g)
+
+
+fused_attention_core.defvjp(_fwd, _bwd)

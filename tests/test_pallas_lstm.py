@@ -142,3 +142,31 @@ def test_pallas_train_dropout_matches_scan_path():
     for a, b in zip(jax.tree.leaves(ref_grads), jax.tree.leaves(new_grads)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=2e-4, atol=2e-5)
+
+
+def test_vmem_estimate_and_fallback():
+    """Shapes whose whole-sequence VMEM residency exceeds the cap must fall
+    back to the lax.scan path (still correct, no pallas_call)."""
+    from imagecaptioner_tpu.ops import pallas_lstm as PL
+
+    cfg = full_student_config(vocab_size=50, dropout=0.0)
+    # production bf16 KD shape fits comfortably
+    assert PL.fused_train_fits_vmem(cfg, T=48, B=16, L=49, itemsize=2)
+    # f32 T=48 preflight (the shape that OOM'd the 16 MiB default) now fits
+    # via the raised limit
+    assert PL.fused_train_fits_vmem(cfg, T=48, B=2, L=49, itemsize=4)
+    # absurd batch/time must NOT fit -> scan fallback
+    assert not PL.fused_train_fits_vmem(cfg, T=512, B=256, L=49, itemsize=4)
+
+    # fallback executes the scan path (works on CPU without interpret mode)
+    big_cfg = full_student_config(vocab_size=50, embed_size=16,
+                                  hidden_size=24, dropout=0.0)
+    p = L.full_decoder_init(jax.random.PRNGKey(0), big_cfg)
+    feats = jax.random.normal(jax.random.PRNGKey(1), (2, 9, 16))
+    caps = jax.random.randint(jax.random.PRNGKey(2), (6, 2), 1, 50)
+    ref = L.full_decoder_apply(p, feats, caps, big_cfg)
+    import unittest.mock as mock
+    with mock.patch.object(PL, "_VMEM_CAP_BYTES", 1):
+        out = PL.pallas_full_decoder_scan_train(p, feats, caps, big_cfg)
+    for a, b in zip(out, ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)

@@ -91,10 +91,14 @@ def teacher_apply(
 ) -> jnp.ndarray:
     """Full forward -> logits (T, B, V).  Pass ``memory`` to reuse a
     precomputed encoding (KD step computes it once)."""
+    from imagecaptioner_tpu.parallel import sp
+
     r_enc, r_emb, r_dec, r_out = M.split_rngs(rng, 4)
     if memory is None:
         memory = encode_image(p, images, cfg, train=train, rng=r_enc)
+    memory = sp.shard_seq(memory, 1)          # (B, L, E): token axis
     x = embed_captions(p, captions, cfg, train=train, rng=r_emb)  # (B,T,E)
+    x = sp.shard_seq(x, 1)                    # caption time axis
     T = captions.shape[0]
     x = TD.decoder_apply(p["decoder"], x, memory, num_heads=cfg.num_heads,
                          tgt_mask=M.causal_mask(T), dropout=cfg.dropout,

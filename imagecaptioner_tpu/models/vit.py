@@ -111,10 +111,14 @@ def vit_forward_features(
     cls = jnp.broadcast_to(p["cls_token"].astype(x.dtype), (b, 1, d))
     x = jnp.concatenate([cls, x], axis=1)
     x = x + p["pos_embed"].astype(x.dtype)
+    from imagecaptioner_tpu.parallel import sp
+
+    x = sp.shard_seq(x, 1)  # sequence parallelism over the 197 patch tokens
     keys = M.split_rngs(rng, len(p["blocks"]))
     for blk, k in zip(p["blocks"], keys):
         x = _block_apply(blk, x, cfg.encoder_heads, dropout=dropout,
                          train=train, rng=k)
+        x = sp.shard_seq(x, 1)
     return M.layer_norm(p["norm"], x)
 
 

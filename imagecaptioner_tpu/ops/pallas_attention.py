@@ -33,9 +33,19 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def default_attn_impl() -> str:
-    """Runtime policy: fused kernel on real TPU, XLA elsewhere (CPU tests
-    run the kernel in interpret mode explicitly where they test parity)."""
-    return "pallas" if jax.default_backend() == "tpu" else "xla"
+    """Runtime policy: fused kernel on a single-device TPU, XLA elsewhere.
+
+    Under multi-device sharding (DP/TP/SP meshes) the XLA path is used:
+    a ``pallas_call`` is opaque to GSPMD, so sharded operands would be
+    all-gathered around it instead of partitioning the attention — the XLA
+    core partitions cleanly.  (Running the kernel per-shard inside
+    ``shard_map`` is the multi-chip integration path.)  CPU tests exercise
+    the kernel in interpret mode explicitly."""
+    if jax.default_backend() != "tpu" or len(jax.devices()) != 1:
+        return "xla"
+    from imagecaptioner_tpu.parallel import sp
+
+    return "xla" if sp.active() else "pallas"
 
 
 def attention_core_xla(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,

@@ -23,9 +23,10 @@ from imagecaptioner_tpu.core.mesh import (  # noqa: F401
     DATA_AXIS, MODEL_AXIS, batch_spec, create_mesh, data_sharding,
     local_device_count, psum_over_data, replicate, replicated, shard_batch,
     shard_time_major, time_major_spec)
+from imagecaptioner_tpu.parallel import sp, tp  # noqa: F401
 
 __all__ = [
     "DATA_AXIS", "MODEL_AXIS", "batch_spec", "create_mesh", "data_sharding",
     "local_device_count", "psum_over_data", "replicate", "replicated",
-    "shard_batch", "shard_time_major", "time_major_spec",
+    "shard_batch", "shard_time_major", "time_major_spec", "sp", "tp",
 ]

@@ -130,3 +130,67 @@ def test_teacher_tensor_parallel_matches_replicated():
         tp_params, img_s, cap_s)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_teacher_sequence_parallel_matches_replicated():
+    """SP policy: constraining the ViT patch-token axis and the caption time
+    axis onto the 'model' mesh axis must reproduce the replicated logits
+    (GSPMD inserts the all-gathers global attention needs)."""
+    import jax.numpy as jnp
+
+    from imagecaptioner_tpu.core import mesh as MS
+    from imagecaptioner_tpu.core.config import TeacherConfig
+    from imagecaptioner_tpu.models import teacher as TM
+    from imagecaptioner_tpu.parallel import sp
+
+    cfg = TeacherConfig(vocab_size=64, embed_size=32, num_heads=4,
+                        num_decoder_layers=2, dropout=0.0, encoder_dim=24,
+                        encoder_depth=2, encoder_heads=3, image_size=32,
+                        patch_size=16)
+    params = TM.teacher_init(jax.random.PRNGKey(0), cfg)
+    images = jax.random.normal(jax.random.PRNGKey(1), (4, 3, 32, 32))
+    captions = jax.random.randint(jax.random.PRNGKey(2), (6, 4), 0, 64)
+
+    ref = jax.jit(lambda p: TM.teacher_apply(p, images, captions, cfg))(
+        params)
+
+    mesh = MS.create_mesh(jax.devices()[:4], shape=(2, 2))
+    with sp.sequence_sharding(mesh, axis="model"):
+        assert sp.active()
+        out = jax.jit(
+            lambda p, i, c: TM.teacher_apply(p, i, c, cfg))(
+                MS.replicate(mesh, params), images, captions)
+    assert not sp.active()
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_teacher_dp_tp_sp_combined():
+    """All three axes at once on a (2, 2) mesh: batch over 'data', params
+    over 'model' (TP), token axes constrained over 'model' (SP)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from imagecaptioner_tpu.core import mesh as MS
+    from imagecaptioner_tpu.core.config import TeacherConfig
+    from imagecaptioner_tpu.models import teacher as TM
+    from imagecaptioner_tpu.parallel import sp, tp
+
+    cfg = TeacherConfig(vocab_size=64, embed_size=32, num_heads=4,
+                        num_decoder_layers=2, dropout=0.0, encoder_dim=24,
+                        encoder_depth=2, encoder_heads=3, image_size=32,
+                        patch_size=16)
+    params = TM.teacher_init(jax.random.PRNGKey(0), cfg)
+    images = jax.random.normal(jax.random.PRNGKey(1), (4, 3, 32, 32))
+    captions = jax.random.randint(jax.random.PRNGKey(2), (6, 4), 0, 64)
+    ref = jax.jit(lambda p: TM.teacher_apply(p, images, captions, cfg))(
+        params)
+
+    mesh = MS.create_mesh(jax.devices()[:4], shape=(2, 2))
+    tp_params = tp.place_teacher_tp(mesh, params, cfg)
+    img_s = jax.device_put(images, NamedSharding(mesh, P("data")))
+    cap_s = jax.device_put(captions, NamedSharding(mesh, P(None, "data")))
+    with sp.sequence_sharding(mesh, axis="model"):
+        out = jax.jit(lambda p, i, c: TM.teacher_apply(p, i, c, cfg))(
+            tp_params, img_s, cap_s)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)

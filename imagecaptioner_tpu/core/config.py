@@ -97,6 +97,11 @@ class StudentConfig:
     # decoder recurrence implementation: "scan" (lax.scan, any platform) or
     # "pallas" (fused TPU kernel fwd + custom-VJP bwd; full 2-layer variant)
     decoder_impl: str = "scan"
+    # Reference freezes backbone prefixes (ResNet children 0-5 / MobileNet
+    # features 0-9) assuming PRETRAINED weights (student_model.py:23-30).
+    # False trains the whole backbone — required for from-scratch training,
+    # where frozen random layers destroy image information.
+    freeze_backbone: bool = True
 
 
 def _student_cfg(defaults: dict, over: dict) -> StudentConfig:

@@ -250,6 +250,8 @@ def student_trainable_mask(p: Params, cfg: StudentConfig) -> Params:
 
         return SE.enhanced_student_trainable_mask(p, cfg)
     mask = jax.tree.map(lambda _: True, p)
+    if not cfg.freeze_backbone:
+        return mask
     if cfg.variant == "full":
         mask["encoder"]["resnet"] = resnet.resnet50_trainable_mask(
             p["encoder"]["resnet"])

@@ -87,6 +87,7 @@ def train_student_with_kd(
     resume_from: Optional[str] = None,
     data_parallel: bool = True,
     metrics_jsonl: Optional[str] = None,
+    freeze_backbone: bool = True,
     verbose: bool = True,
 ):
     tr = train_cfg or KDTrainConfig()
@@ -111,7 +112,7 @@ def train_student_with_kd(
     import jax as _jax
 
     s_cfg = full_student_config(
-        vocab_size, dropout=tr.dropout,
+        vocab_size, dropout=tr.dropout, freeze_backbone=freeze_backbone,
         decoder_impl="pallas" if _jax.default_backend() == "tpu" else "scan")
 
     key = jax.random.PRNGKey(seed)

@@ -37,6 +37,11 @@ def main():
                     help="override the reference's 0.1 encoder LR scale "
                          "(sane for from-scratch encoders)")
     ap.add_argument("--patience", type=int, default=None)
+    ap.add_argument("--unfreeze-backbone", action="store_true",
+                    help="train the whole ResNet (the reference freeze "
+                         "assumes pretrained weights; frozen-at-random-init "
+                         "layers destroy image information — measured: "
+                         "0.999 cross-image feature cosine)")
     args = ap.parse_args()
 
     from imagecaptioner_tpu.core.runtime import enable_compile_cache
@@ -94,7 +99,8 @@ def main():
             data, teacher_checkpoint=os.path.join(out,
                                                   "best_teacher_model.npz"),
             output_dir=out, train_cfg=KDTrainConfig(**kd_kw),
-            distill_cfg=d_cfg, verbose=True)
+            distill_cfg=d_cfg,
+            freeze_backbone=not args.unfreeze_backbone, verbose=True)
 
     # sample captions from both models on train images
     from imagecaptioner_tpu.eval.evaluate_student import load_student_evaluator
@@ -131,6 +137,10 @@ def main():
         dev.append(f"CE weight {args.ce_weight} (paid out of token-KD alpha)")
     if args.encoder_lr_scale is not None:
         dev.append(f"encoder LR scale {args.encoder_lr_scale} (ref: 0.1)")
+    if args.unfreeze_backbone:
+        dev.append("whole ResNet trainable (ref freezes children 0-5 of a "
+                   "PRETRAINED backbone; frozen random layers carry no "
+                   "image information)")
     lines = [
         "# End-to-end convergence demo (synthetic data, real TPU)",
         "",

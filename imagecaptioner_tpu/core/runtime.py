@@ -19,6 +19,35 @@ def enable_compile_cache(path: str = None) -> None:
         pass  # older jax without the knobs
 
 
+def host_cpu_tag() -> str:
+    """Short stable hash of this host's CPU feature flags.
+
+    XLA:CPU AOT cache entries bake in the compile host's feature set; loading
+    them on a host without e.g. AMX can abort with SIGILL (the
+    ``cpu_aot_loader`` warning).  This container migrates between hosts, so
+    anything persisting a CPU-backend compile cache must key the directory by
+    this tag."""
+    import hashlib
+    import platform
+
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    flags = " ".join(sorted(line.split(":", 1)[1].split()))
+                    return hashlib.sha1(flags.encode()).hexdigest()[:10]
+    except OSError:
+        pass
+    return hashlib.sha1(platform.processor().encode()).hexdigest()[:10]
+
+
+def cpu_cache_dir(base: str = None) -> str:
+    """Machine-keyed compile-cache dir for CPU-backend processes
+    (tests, the multichip dryrun, benchmark config #1)."""
+    base = base or os.environ.get("IC_JAX_CACHE_CPU", "/tmp/ic_jax_cache_cpu")
+    return f"{base}-{host_cpu_tag()}"
+
+
 def profile_trace(log_dir: str = "/tmp/ic_profile"):
     """Context manager around jax.profiler for step tracing (SURVEY §5.1)."""
     import jax

@@ -104,24 +104,43 @@ class BatchLoader:
             yield order[n_full * self.batch_size:]
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
-        """Background-thread prefetch so host decode overlaps device compute."""
+        """Background-thread prefetch so host decode overlaps device compute.
+
+        Abandoning the iterator early (e.g. the reference's 50-batch
+        validation cap) must not leave the producer blocked on a full queue —
+        the finally block signals it to exit, so no thread or buffered-batch
+        build-up across epochs."""
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
+        stop = threading.Event()
+
+        def put_or_stop(item) -> bool:
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def producer():
             try:
                 for idxs in self._index_batches():
-                    q.put(self._make_batch(idxs))
+                    if not put_or_stop(self._make_batch(idxs)):
+                        return
             finally:
-                q.put(sentinel)
+                put_or_stop(sentinel)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is sentinel:
-                break
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is sentinel:
+                    break
+                yield item
+        finally:
+            stop.set()
 
 
 def device_prefetch(iterator, *, mesh=None, size: int = 2):

@@ -18,8 +18,11 @@ if os.environ.get("IC_TPU_TESTS") != "1":
 # repeat runs several times faster.  The CPU suite uses its OWN cache dir —
 # sharing one with TPU-platform processes produced AOT entries whose CPU
 # feature sets mismatch this host (the cpu_aot_loader warning), which can
-# abort with SIGILL on load.
-_cache_dir = os.environ.get("IC_JAX_CACHE_TESTS", "/tmp/ic_jax_cache_cpu")
+# abort with SIGILL on load — and the dir is keyed by the host's CPU flags
+# because the container migrates between hosts (core/runtime.cpu_cache_dir).
+from imagecaptioner_tpu.core.runtime import cpu_cache_dir  # noqa: E402
+
+_cache_dir = os.environ.get("IC_JAX_CACHE_TESTS") or cpu_cache_dir()
 jax.config.update("jax_compilation_cache_dir", _cache_dir)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 

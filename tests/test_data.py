@@ -137,6 +137,31 @@ def test_loader_static_shapes_and_cap(synth_root):
     assert (b["captions"][L:, j] == PAD).all()
 
 
+def test_loader_abandoned_iterator_stops_producer(synth_root):
+    """Breaking out of the loader mid-epoch (the reference's 50-batch
+    validation cap, train_student_kd.py:29-86) must not leave the prefetch
+    producer thread alive and blocked on the queue."""
+    import threading
+    import time as _time
+
+    ds = CaptionDataset(synth_root, f"{synth_root}/captions_clean.csv",
+                        image_size=64)
+    loader = BatchLoader(ds, batch_size=8, max_caption_len=20, prefetch=1)
+    before = {t.ident for t in threading.enumerate()}
+    it = iter(loader)
+    next(it)
+    it.close()  # what an abandoned for-loop break triggers at GC
+    deadline = _time.monotonic() + 5.0
+    while _time.monotonic() < deadline:
+        extra = [t for t in threading.enumerate()
+                 if t.ident not in before and t.is_alive()
+                 and not t.name.startswith("ic-decode")]
+        if not extra:
+            break
+        _time.sleep(0.05)
+    assert not extra, f"producer thread(s) leaked: {extra}"
+
+
 def test_loader_shuffle_determinism(synth_root):
     mk = lambda seed: [b["captions"].copy() for b in BatchLoader(
         CaptionDataset(synth_root, f"{synth_root}/captions_clean.csv", image_size=64),

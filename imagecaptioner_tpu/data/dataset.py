@@ -47,6 +47,16 @@ class CaptionDataset:
     def __len__(self) -> int:
         return len(self.df)
 
+    def select(self, indices) -> "CaptionDataset":
+        """Narrow to a subset of rows IN PLACE (multi-host per-host shard).
+
+        Call after construction so the vocabulary is still built over ALL
+        captions — token ids must agree across hosts."""
+        self.df = self.df.iloc[list(indices)].reset_index(drop=True)
+        self.imgs = self.df["image"].tolist()
+        self.captions = self.df["caption"].tolist()
+        return self
+
     def load_image(self, index: int) -> np.ndarray:
         """uint8 (H, W, 3) at ``image_size`` — black placeholder if missing
         (data_loader.py:73-78)."""

@@ -195,11 +195,23 @@ def get_loader(
     freq_threshold: int = 5,
     seed: int = 0,
     vocab=None,
+    host_shard: bool = False,
 ) -> Tuple[BatchLoader, CaptionDataset]:
-    """Reference-compatible entry point (data_loader.py:102-125)."""
+    """Reference-compatible entry point (data_loader.py:102-125).
+
+    ``host_shard=True``: in a multi-process run, narrow this host's dataset
+    to its shard AFTER vocab construction (token ids must agree across
+    hosts) — the train-loader setting for multi-host DP."""
     dataset = CaptionDataset(
         root_folder, annotation_file, freq_threshold=freq_threshold,
         image_size=image_size, vocab=vocab)
+    if host_shard:
+        import jax
+
+        if jax.process_count() > 1:
+            from imagecaptioner_tpu.parallel import multihost as MH
+
+            dataset.select(MH.host_shard(len(dataset)))
     loader = BatchLoader(
         dataset, batch_size=batch_size, max_caption_len=max_caption_len,
         shuffle=shuffle, seed=seed)

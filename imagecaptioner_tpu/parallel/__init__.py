@@ -11,8 +11,12 @@ XLA collectives over ICI/DCN, driven purely by sharding annotations:
     XLA over ICI).
   * ``model`` axis is reserved for tensor parallelism: the models here
     (<=35M params) fit one chip, so TP stays a config, not a rewrite.
-  * Multi-host: initialise ``jax.distributed`` before ``create_mesh`` and
-    feed each host its local shard — nothing else changes.
+  * Multi-host: :mod:`parallel.multihost` — ``initialize()`` (no-op when
+    single-process), ``host_shard()`` per-host loader sharding, and
+    ``global_batch()`` assembling global arrays from per-host shards; the
+    sharded train steps are unchanged from 1 chip to a pod.  Exercised with
+    two real OS processes over a loopback coordinator
+    (tests/test_multihost.py).
 
 Correctness is tested on an 8-device virtual CPU mesh
 (tests/test_sharding.py): the sharded step reproduces single-device losses
@@ -23,10 +27,11 @@ from imagecaptioner_tpu.core.mesh import (  # noqa: F401
     DATA_AXIS, MODEL_AXIS, batch_spec, create_mesh, data_sharding,
     local_device_count, psum_over_data, replicate, replicated, shard_batch,
     shard_time_major, time_major_spec)
-from imagecaptioner_tpu.parallel import sp, tp  # noqa: F401
+from imagecaptioner_tpu.parallel import multihost, sp, tp  # noqa: F401
 
 __all__ = [
     "DATA_AXIS", "MODEL_AXIS", "batch_spec", "create_mesh", "data_sharding",
-    "local_device_count", "psum_over_data", "replicate", "replicated",
-    "shard_batch", "shard_time_major", "time_major_spec", "sp", "tp",
+    "local_device_count", "multihost", "psum_over_data", "replicate",
+    "replicated", "shard_batch", "shard_time_major", "time_major_spec",
+    "sp", "tp",
 ]

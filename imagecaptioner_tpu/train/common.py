@@ -37,14 +37,22 @@ def stacked_batches(loader, accumulation_steps: int, *, mesh=None,
     import jax
     from jax.sharding import NamedSharding, PartitionSpec as P
 
+    # Multi-host: each process holds only its host_shard of the data, so the
+    # stack is assembled into a GLOBAL array from process-local shards (the
+    # batch axis grows by process_count); single-host is a plain device_put.
+    multiproc = jax.process_count() > 1
+
+    def put_arr(x, spec):
+        sh = NamedSharding(mesh, spec)
+        if multiproc:
+            return jax.make_array_from_process_local_data(sh, x)
+        return jax.device_put(x, sh)
+
     def put(stk):
         return {
-            "images": jax.device_put(
-                stk["images"], NamedSharding(mesh, P(None, "data"))),
-            "captions": jax.device_put(
-                stk["captions"], NamedSharding(mesh, P(None, None, "data"))),
-            "lengths": jax.device_put(
-                stk["lengths"], NamedSharding(mesh, P(None, "data"))),
+            "images": put_arr(stk["images"], P(None, "data")),
+            "captions": put_arr(stk["captions"], P(None, None, "data")),
+            "lengths": put_arr(stk["lengths"], P(None, "data")),
         }
 
     import collections
@@ -65,22 +73,52 @@ def stacked_batches(loader, accumulation_steps: int, *, mesh=None,
         yield out
 
 
+def distributed_init_from_env() -> bool:
+    """Join a multi-host run when IC_COORDINATOR / IC_NUM_PROCESSES /
+    IC_PROCESS_ID are set; no-op (False) otherwise.  Trainers call this
+    unconditionally before first backend use (SURVEY §2.10 DCN path)."""
+    coord = os.environ.get("IC_COORDINATOR")
+    if not coord:
+        return False
+    from imagecaptioner_tpu.parallel import multihost as MH
+
+    on = MH.initialize(
+        coord,
+        num_processes=int(os.environ["IC_NUM_PROCESSES"]),
+        process_id=int(os.environ["IC_PROCESS_ID"]))
+    if on:
+        info = MH.process_info()
+        print(f"[multihost] process {info['process_index']}/"
+              f"{info['process_count']} joined {coord}")
+    return on
+
+
 def maybe_mesh(batch_size: int, enabled: bool = True):
     """A (data, model) mesh over all devices when DP is applicable: more than
     one device and the batch divides the data axis.  None otherwise (the
-    jitted steps are mesh-agnostic either way)."""
+    jitted steps are mesh-agnostic either way).
+
+    ``batch_size`` is the PER-HOST loader batch; the global batch a step
+    consumes is that times process_count (each host contributes its shard via
+    stacked_batches)."""
     if not enabled:
         return None
     import jax
 
     n = len(jax.devices())
-    if n > 1 and batch_size % n == 0:
+    global_batch = batch_size * jax.process_count()
+    if n > 1 and global_batch % n == 0:
         from imagecaptioner_tpu.core import mesh as MS
 
         return MS.create_mesh()
+    if jax.process_count() > 1:
+        # Independent per-process training silently diverges — refuse.
+        raise ValueError(
+            f"multi-host run: global batch {global_batch} must divide the "
+            f"{n} global devices")
     if n > 1:
-        print(f"[dp] batch size {batch_size} not divisible by {n} devices — "
-              "running replicated")
+        print(f"[dp] global batch {global_batch} not divisible by {n} "
+              "devices — running replicated")
     return None
 
 

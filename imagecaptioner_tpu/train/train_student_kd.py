@@ -96,10 +96,11 @@ def train_student_with_kd(
     d_cfg = distill_cfg or DistillConfig()
     captions_file = captions_file or os.path.join(data_root, "captions_clean.csv")
 
+    common.distributed_init_from_env()
     train_loader, dataset = get_loader(
         data_root, captions_file, batch_size=tr.batch_size,
         max_caption_len=max_caption_len, shuffle=True, seed=seed,
-        image_size=image_size)
+        image_size=image_size, host_shard=True)
     val_loader, _ = get_loader(
         data_root, captions_file, batch_size=tr.batch_size,
         max_caption_len=max_caption_len, shuffle=False, vocab=dataset.vocab,

@@ -63,10 +63,11 @@ def train_student_with_kd_optimized(
     # Larger host images; on-device RandomCrop to image_size (reference
     # Resize(256)+RandomCrop(224), :245-253)
     host_size = image_size + 32
+    common.distributed_init_from_env()
     train_loader, dataset = get_loader(
         data_root, captions_file, batch_size=tr.batch_size,
         max_caption_len=max_caption_len, shuffle=True, seed=seed,
-        image_size=host_size)
+        image_size=host_size, host_shard=True)
     val_loader, _ = get_loader(
         data_root, captions_file, batch_size=tr.batch_size,
         max_caption_len=max_caption_len, shuffle=False, vocab=dataset.vocab,

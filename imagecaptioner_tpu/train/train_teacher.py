@@ -53,11 +53,12 @@ def train(
         tr = replace(tr, num_epochs=num_epochs)
     captions_file = captions_file or os.path.join(data_root, "captions_clean.csv")
 
+    common.distributed_init_from_env()
     # Data: train shuffled; val = same full CSV unshuffled (train_teacher.py:93-110)
     train_loader, dataset = get_loader(
         data_root, captions_file, batch_size=tr.batch_size,
         max_caption_len=max_caption_len, shuffle=True, seed=seed,
-        image_size=image_size)
+        image_size=image_size, host_shard=True)
     val_loader, _ = get_loader(
         data_root, captions_file, batch_size=tr.batch_size,
         max_caption_len=max_caption_len, shuffle=False, vocab=dataset.vocab,

@@ -48,8 +48,10 @@ def config_1():
     import subprocess
     import sys
 
+    from imagecaptioner_tpu.core.runtime import cpu_cache_dir
+
     env = dict(os.environ)
-    env["JAX_COMPILATION_CACHE_DIR"] = "/tmp/ic_jax_cache_cpu"
+    env["JAX_COMPILATION_CACHE_DIR"] = cpu_cache_dir()
     code = (
         "import jax, json; jax.config.update('jax_platforms', 'cpu'); "
         "from benchmarks.run_all import _config_compact_smoke; "
@@ -200,48 +202,63 @@ def config_4():
     from imagecaptioner_tpu.models import teacher as TM
     from imagecaptioner_tpu.train import optim as O, steps
 
+    from imagecaptioner_tpu.core import timing
+
     t_cfg = TeacherConfig(vocab_size=2994)
-    s_cfg = full_student_config(2994)
     tr = KDTrainConfig(batch_size=16, accumulation_steps=1)
     k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
     teacher_params = TM.teacher_init(k1, t_cfg)
-    s_params, s_state = SM.student_init(k2, s_cfg)
-    projectors, _ = create_feature_projectors(
-        k3, teacher_embed=512, student_embed=256, student_hidden=512,
-        student_seq_len=49, teacher_seq_len=197)
-    params = {"student": s_params, "projectors": projectors}
-    state0 = steps.TrainState(params, O.adamw_init(params), s_state)
-    step = steps.make_kd_train_step(t_cfg, s_cfg, DistillConfig(), tr,
-                                    compute_dtype=jnp.bfloat16)
     rng = np.random.default_rng(0)
 
-    # train state threads through; time N sequential steps
-    batches = []
-    for i in range(6):
-        batches.append({
-            "images": rng.integers(0, 255, (1, 16, 224, 224, 3),
-                                   dtype=np.uint8),
-            "captions": rng.integers(1, 2994, (1, 24, 16)).astype(np.int32),
-            "lengths": np.full((1, 16), 24, np.int32),
-        })
-    state = state0
-    state, m = step(state, teacher_params, batches[0], jnp.float32(0.0),
-                    jnp.int32(0), jax.random.PRNGKey(1))
-    _ = jax.device_get(m["total_loss"])  # compile+warmup
-    t0 = time.perf_counter()
-    for i, b in enumerate(batches[1:]):
-        state, m = step(state, teacher_params, b, jnp.float32(i * 1e-3),
-                        jnp.int32(0), jax.random.fold_in(jax.random.PRNGKey(2), i))
-    _ = jax.device_get(m["total_loss"])
-    per = (time.perf_counter() - t0) / (len(batches) - 1)
-    # Steps are sequentially dependent (state threads through), so syncing the
-    # final loss is a true sync, and every batch is distinct data.
-    from imagecaptioner_tpu.core import timing
+    def run_impl(decoder_impl, n_steps=8):
+        """On-device step time: batches are PRE-STAGED on device before the
+        clock starts — a (1,16,224,224,3) uint8 batch is ~2.4 MB, which
+        through this rig's ~9 MB/s relay upload costs ~270 ms/step and would
+        bury the compute being compared (a real pipeline overlaps upload via
+        device_prefetch).  Steps are sequentially dependent (state threads
+        through), so syncing the final loss is a true sync, and every batch
+        is distinct data."""
+        s_cfg = full_student_config(2994, decoder_impl=decoder_impl)
+        s_params, s_state = SM.student_init(k2, s_cfg)
+        projectors, _ = create_feature_projectors(
+            k3, teacher_embed=512, student_embed=256, student_hidden=512,
+            student_seq_len=49, teacher_seq_len=197)
+        params = {"student": s_params, "projectors": projectors}
+        state = steps.TrainState(params, O.adamw_init(params), s_state)
+        step = steps.make_kd_train_step(t_cfg, s_cfg, DistillConfig(), tr,
+                                        compute_dtype=jnp.bfloat16)
+        batches = [
+            jax.device_put({
+                "images": rng.integers(0, 255, (1, 16, 224, 224, 3),
+                                       dtype=np.uint8),
+                "captions": rng.integers(1, 2994, (1, 24, 16)).astype(np.int32),
+                "lengths": np.full((1, 16), 24, np.int32),
+            })
+            for _ in range(n_steps + 1)
+        ]
+        jax.block_until_ready(batches)
+        state, m = step(state, teacher_params, batches[0], jnp.float32(0.0),
+                        jnp.int32(0), jax.random.PRNGKey(1))
+        _ = jax.device_get(m["total_loss"])  # compile+warmup
+        t0 = time.perf_counter()
+        for i, b in enumerate(batches[1:]):
+            state, m = step(state, teacher_params, b, jnp.float32(i * 1e-3),
+                            jnp.int32(0),
+                            jax.random.fold_in(jax.random.PRNGKey(2), i))
+        _ = jax.device_get(m["total_loss"])
+        per = (time.perf_counter() - t0) / (len(batches) - 1)
+        return {"p50_latency_s": per, "steps_per_sec": 1.0 / per,
+                "images_per_sec": 16.0 / per}
 
-    return {"name": "joint_kd_train_step_b16_bf16",
-            "p50_latency_s": per, "steps_per_sec": 1.0 / per,
-            "images_per_sec": 16.0 / per,
-            "physics_max_images_per_sec": timing.physics_max_rate(1.6e10)}
+    out = {"name": "joint_kd_train_step_b16_bf16",
+           "physics_max_images_per_sec": timing.physics_max_rate(1.6e10)}
+    out["scan"] = run_impl("scan")
+    # fused trainable Pallas LSTM decoder (custom VJP) — TPU only
+    if jax.default_backend() == "tpu":
+        out["pallas"] = run_impl("pallas")
+    best = out.get("pallas", out["scan"])
+    out.update(best)  # top-level numbers = production path for this backend
+    return out
 
 
 def config_5(epochs: int):
@@ -291,7 +308,15 @@ def main():
 
     enable_compile_cache()
     wanted = {int(x) for x in args.configs.split(",")}
+    # merge into the existing record so a partial re-run (e.g. --configs 4)
+    # keeps the other configs' numbers
     results = {}
+    if os.path.exists(args.output):
+        try:
+            with open(args.output) as f:
+                results = json.load(f)
+        except (OSError, ValueError):
+            results = {}
     for i, fn in [(1, config_1), (2, config_2), (3, config_3),
                   (4, config_4)]:
         if i in wanted:

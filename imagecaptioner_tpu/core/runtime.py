@@ -11,7 +11,15 @@ def enable_compile_cache(path: str = None) -> None:
     jit execution."""
     import jax
 
-    cache = path or os.environ.get("IC_JAX_CACHE", "/tmp/ic_jax_cache")
+    if path is None:
+        if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+            # CPU-backend process: use the machine-keyed CPU cache, never the
+            # TPU tool cache (mixed AOT entries risk SIGILL on load)
+            cache = cpu_cache_dir()
+        else:
+            cache = os.environ.get("IC_JAX_CACHE", "/tmp/ic_jax_cache")
+    else:
+        cache = path
     try:
         jax.config.update("jax_compilation_cache_dir", cache)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

@@ -88,6 +88,7 @@ def train_student_with_kd(
     data_parallel: bool = True,
     metrics_jsonl: Optional[str] = None,
     freeze_backbone: bool = True,
+    use_attention_refinement: bool = True,
     verbose: bool = True,
 ):
     tr = train_cfg or KDTrainConfig()
@@ -114,6 +115,7 @@ def train_student_with_kd(
 
     s_cfg = full_student_config(
         vocab_size, dropout=tr.dropout, freeze_backbone=freeze_backbone,
+        use_attention_refinement=use_attention_refinement,
         decoder_impl="pallas" if _jax.default_backend() == "tpu" else "scan")
 
     key = jax.random.PRNGKey(seed)

@@ -30,9 +30,9 @@ port, pid = sys.argv[1], int(sys.argv[2])
 assert MH.initialize(f"127.0.0.1:{port}", num_processes=2, process_id=pid)
 info = MH.process_info()
 assert info["process_count"] == 2 and info["process_index"] == pid
-assert len(jax.devices()) == 8  # 4 local x 2 processes
+assert len(jax.devices()) == 4  # 2 local x 2 processes
 
-mesh = MS.create_mesh()  # all 8 global devices on the data axis
+mesh = MS.create_mesh()  # all 4 global devices on the data axis
 
 # deterministic "dataset": every host holds the full host-side copy, loads
 # only its shard (what a per-host loader would do)
@@ -62,6 +62,7 @@ g = np.asarray(jax.device_get(grad_step(w, gb)))
 print("RESULT::" + json.dumps({"pid": pid, "grad": g.tolist()}), flush=True)
 from jax.experimental import multihost_utils
 multihost_utils.sync_global_devices("ic-dp-test-done")
+jax.distributed.shutdown()
 """
 
 
@@ -129,8 +130,7 @@ from imagecaptioner_tpu.core.runtime import enable_compile_cache, cpu_cache_dir
 enable_compile_cache(cpu_cache_dir())
 assert MH.initialize(f"127.0.0.1:{port}", num_processes=2, process_id=pid)
 """ + KD_COMMON + r"""
-from imagecaptioner_tpu.core import mesh as MS2
-mesh = MS.create_mesh()  # 8 global devices (4 local x 2 processes)
+mesh = MS.create_mesh()  # 4 global devices (2 local x 2 processes)
 g = global_data()
 sh = MH.host_shard(BG)  # this host's batch columns
 
@@ -144,10 +144,12 @@ class HostShardLoader:
 loss, wnorm = run_one_step(mesh, HostShardLoader())
 print("RESULT::" + json.dumps({"pid": pid, "loss": loss, "wnorm": wnorm}),
       flush=True)
-# processes can drift minutes apart on uncached compiles; exiting >30s apart
-# trips the coordination-service shutdown barrier, so align first
+# processes can drift on uncached compiles or a loaded box; reaching
+# shutdown >30s apart trips the coordination-service shutdown barrier, so
+# align, then shut down explicitly BEFORE python teardown
 from jax.experimental import multihost_utils
 multihost_utils.sync_global_devices("ic-kd-test-done")
+jax.distributed.shutdown()
 """
 
 KD_SERIAL = r"""
@@ -159,7 +161,7 @@ enable_compile_cache(cpu_cache_dir())
 from imagecaptioner_tpu.parallel import multihost as MH
 """ + KD_COMMON + r"""
 import numpy as np
-mesh = MS.create_mesh()  # 8 local devices, single process
+mesh = MS.create_mesh()  # 4 local devices, single process
 g = global_data()
 # multi-process concatenation order = [host0 shard, host1 shard]
 perm = np.concatenate([MH.host_shard(BG, process_index=i, process_count=2)
@@ -186,42 +188,68 @@ def _collect_results(outs):
     return res
 
 
-def test_two_process_kd_train_step_matches_serial():
-    """The REAL KD train step (teacher fwd + student fwd/bwd + AdamW) over 2
-    processes x 4 devices, fed through common.stacked_batches from per-host
-    dataset shards, reproduces the single-process 8-device result."""
-    with socket.socket() as s:
-        s.bind(("127.0.0.1", 0))
-        port = s.getsockname()[1]
-
-    env = dict(os.environ)
-    env["PYTHONPATH"] = REPO
-    env.pop("JAX_PLATFORMS", None)
-
-    env_mp = dict(env, XLA_FLAGS="--xla_force_host_platform_device_count=4")
+def _run_workers(env, port):
+    """Launch the two KD workers; returns (outputs, barrier_flake)."""
+    env_mp = dict(env, XLA_FLAGS="--xla_force_host_platform_device_count=2")
     procs = [
         subprocess.Popen([sys.executable, "-c", KD_WORKER, str(port), str(i)],
                          env=env_mp, cwd=REPO, stdout=subprocess.PIPE,
                          stderr=subprocess.STDOUT, text=True)
         for i in range(2)
     ]
-    env_sp = dict(env, XLA_FLAGS="--xla_force_host_platform_device_count=8")
-    serial = subprocess.Popen([sys.executable, "-c", KD_SERIAL], env=env_sp,
-                              cwd=REPO, stdout=subprocess.PIPE,
-                              stderr=subprocess.STDOUT, text=True)
     outs = []
-    for p in procs + [serial]:
+    for p in procs:
         try:
             out, _ = p.communicate(timeout=420)
         except subprocess.TimeoutExpired:
-            for q in procs + [serial]:
+            for q in procs:
                 q.kill()
             pytest.fail("kd multihost worker timed out")
-        outs.append(out)
-        assert p.returncode == 0, f"worker failed:\n{out[-3000:]}"
+        outs.append((p.returncode, out))
+    if all(rc == 0 for rc, _ in outs):
+        return [o for _, o in outs], False
+    # A loaded box can still trip the 30s shutdown barrier even after the
+    # pre-exit sync; that is a timing flake, not a correctness failure —
+    # report it distinctly so the caller can retry once.
+    flake = any("Shutdown barrier" in o for _, o in outs)
+    if not flake:
+        bad = next(o for rc, o in outs if rc != 0)
+        pytest.fail(f"kd worker failed:\n{bad[-3000:]}")
+    return [o for _, o in outs], True
 
-    workers = _collect_results(outs[:2])
-    ref = _collect_results([outs[2]])[0]
+
+def test_two_process_kd_train_step_matches_serial():
+    """The REAL KD train step (teacher fwd + student fwd/bwd + AdamW) over 2
+    processes x 2 devices, fed through common.stacked_batches from per-host
+    dataset shards, reproduces the single-process 4-device result."""
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO
+    env.pop("JAX_PLATFORMS", None)
+
+    for attempt in range(2):
+        with socket.socket() as s:
+            s.bind(("127.0.0.1", 0))
+            port = s.getsockname()[1]
+        outs, flake = _run_workers(env, port)
+        workers = _collect_results(outs)
+        if len(workers) == 2:
+            break  # both RESULTs emitted — numbers are valid even on a flake
+        assert flake and attempt == 0, "no results from workers"
+
+    # serial reference runs AFTER the workers: it must not compete for CPU
+    # with the collective-coupled pair on an oversubscribed box
+    env_sp = dict(env, XLA_FLAGS="--xla_force_host_platform_device_count=4")
+    serial = subprocess.Popen([sys.executable, "-c", KD_SERIAL], env=env_sp,
+                              cwd=REPO, stdout=subprocess.PIPE,
+                              stderr=subprocess.STDOUT, text=True)
+    try:
+        s_out, _ = serial.communicate(timeout=420)
+    except subprocess.TimeoutExpired:
+        serial.kill()
+        pytest.fail("serial reference timed out")
+    assert serial.returncode == 0, f"serial failed:\n{s_out[-3000:]}"
+
+    ref = _collect_results([s_out])[0]
     assert len(workers) == 2
     assert abs(workers[0]["loss"] - workers[1]["loss"]) < 1e-6
     assert abs(workers[0]["loss"] - ref["loss"]) < 1e-4
@@ -293,7 +321,7 @@ def test_two_process_data_parallel_gradient():
         port = s.getsockname()[1]
 
     env = dict(os.environ)
-    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
     env["PYTHONPATH"] = REPO
     env.pop("JAX_PLATFORMS", None)
     procs = [

@@ -35,12 +35,14 @@ def initialize(
     num_processes: Optional[int] = None,
     process_id: Optional[int] = None,
     local_device_ids: Optional[Any] = None,
+    **kwargs: Any,
 ) -> bool:
     """Join the multi-process runtime; returns True if distributed mode is on.
 
     With no arguments and no cluster environment, this is a no-op (False) —
     single-host trainers can call it unconditionally.  On TPU pods the args
     are auto-detected from the environment; on CPU/GPU pass them explicitly.
+    Extra kwargs forward to ``jax.distributed.initialize`` (timeouts etc.).
     """
     import jax
 
@@ -54,6 +56,7 @@ def initialize(
         num_processes=num_processes,
         process_id=process_id,
         local_device_ids=local_device_ids,
+        **kwargs,
     )
     return True
 

@@ -27,7 +27,10 @@ from imagecaptioner_tpu.parallel import multihost as MH
 from imagecaptioner_tpu.core import mesh as MS
 
 port, pid = sys.argv[1], int(sys.argv[2])
-assert MH.initialize(f"127.0.0.1:{port}", num_processes=2, process_id=pid)
+assert MH.initialize(f"127.0.0.1:{port}", num_processes=2, process_id=pid,
+                     initialization_timeout=300,
+                     heartbeat_timeout_seconds=300,
+                     shutdown_timeout_seconds=300)
 info = MH.process_info()
 assert info["process_count"] == 2 and info["process_index"] == pid
 assert len(jax.devices()) == 4  # 2 local x 2 processes
@@ -128,7 +131,11 @@ port, pid = sys.argv[1], int(sys.argv[2])
 from imagecaptioner_tpu.parallel import multihost as MH
 from imagecaptioner_tpu.core.runtime import enable_compile_cache, cpu_cache_dir
 enable_compile_cache(cpu_cache_dir())
-assert MH.initialize(f"127.0.0.1:{port}", num_processes=2, process_id=pid)
+# generous timeouts: an oversubscribed box can stall a worker for minutes
+assert MH.initialize(f"127.0.0.1:{port}", num_processes=2, process_id=pid,
+                     initialization_timeout=300,
+                     heartbeat_timeout_seconds=300,
+                     shutdown_timeout_seconds=300)
 """ + KD_COMMON + r"""
 mesh = MS.create_mesh()  # 4 global devices (2 local x 2 processes)
 g = global_data()
@@ -226,7 +233,8 @@ def test_two_process_kd_train_step_matches_serial():
     env["PYTHONPATH"] = REPO
     env.pop("JAX_PLATFORMS", None)
 
-    for attempt in range(2):
+    attempts = 3
+    for attempt in range(attempts):
         with socket.socket() as s:
             s.bind(("127.0.0.1", 0))
             port = s.getsockname()[1]
@@ -234,7 +242,9 @@ def test_two_process_kd_train_step_matches_serial():
         workers = _collect_results(outs)
         if len(workers) == 2:
             break  # both RESULTs emitted — numbers are valid even on a flake
-        assert flake and attempt == 0, "no results from workers"
+        assert flake and attempt < attempts - 1, (
+            "no results from workers:\n"
+            + "\n---\n".join(o[-2000:] for o in outs))
 
     # serial reference runs AFTER the workers: it must not compete for CPU
     # with the collective-coupled pair on an oversubscribed box

@@ -88,6 +88,14 @@ def _make_kernel(causal: bool, scale: float):
 def _kernel_call(q, k, v, causal: bool, scale: float, interpret: bool):
     B, H, Lq, D = q.shape
     Lk = k.shape[2]
+    # Mixed input dtypes (e.g. f32 caption queries against a bf16 memory in
+    # teacher training) follow the XLA core's contract: scores accumulate in
+    # f32 with q/k promoted to their result type, and the OUTPUT dtype is
+    # v.dtype — the kernel's out ref must be typed accordingly or Mosaic
+    # rejects the store ("Invalid dtype for swap").
+    qk_dtype = jnp.result_type(q.dtype, k.dtype)
+    q = q.astype(qk_dtype)
+    k = k.astype(qk_dtype)
     qf = q.reshape(B * H, Lq, D)
     kf = k.reshape(B * H, Lk, D)
     vf = v.reshape(B * H, Lk, D)
@@ -98,7 +106,7 @@ def _kernel_call(q, k, v, causal: bool, scale: float, interpret: bool):
     out = pl.pallas_call(
         _make_kernel(causal, scale),
         grid=(B * H,),
-        out_shape=jax.ShapeDtypeStruct((B * H, Lq, D), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((B * H, Lq, D), v.dtype),
         in_specs=[
             pl.BlockSpec((1, Lq, D), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),

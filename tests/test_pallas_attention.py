@@ -39,6 +39,24 @@ def test_value_parity(causal):
                                rtol=2e-5, atol=2e-5)
 
 
+def test_mixed_dtype_query_vs_memory():
+    """f32 caption queries against a bf16 encoder memory — the teacher
+    TRAINING cross-attention hit this (r2: Mosaic 'Invalid dtype for swap'
+    because the out ref was typed q.dtype while the store was v.dtype).
+    Contract = XLA core: output dtype is v.dtype."""
+    q, _, _ = _qkv(jax.random.PRNGKey(7), Lq=24, Lk=24, D=16,
+                   dtype=jnp.float32)
+    _, k, v = _qkv(jax.random.PRNGKey(8), Lq=24, Lk=24, D=16,
+                   dtype=jnp.bfloat16)
+    scale = 1.0 / 4.0
+    ref = attention_core_xla(q, k, v, causal=False, scale=scale)
+    out = fused_attention_core(q, k, v, False, scale, INTERPRET)
+    assert out.dtype == v.dtype == ref.dtype
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32),
+                               rtol=2e-2, atol=2e-2)
+
+
 def test_cross_attention_shapes():
     # Lq != Lk (decoder cross-attention: 24 queries over 197 memory tokens)
     q, k, v = _qkv(jax.random.PRNGKey(1), Lq=24, Lk=197, D=64)

@@ -89,6 +89,7 @@ def train_student_with_kd(
     metrics_jsonl: Optional[str] = None,
     freeze_backbone: bool = True,
     use_attention_refinement: bool = True,
+    aug=None,
     verbose: bool = True,
 ):
     tr = train_cfg or KDTrainConfig()
@@ -153,8 +154,9 @@ def train_student_with_kd(
         start_epoch = int(ck["epoch"]) + 1
         if verbose:
             print(f"Resumed from {resume_from} at epoch {start_epoch}")
+    aug_kw = {} if aug is None else {"aug": aug}
     train_step = steps.make_kd_train_step(
-        t_cfg, s_cfg, d_cfg, tr, compute_dtype=compute_dtype)
+        t_cfg, s_cfg, d_cfg, tr, compute_dtype=compute_dtype, **aug_kw)
     eval_step = steps.make_kd_eval_step(
         t_cfg, s_cfg, d_cfg, compute_dtype=compute_dtype)
 

@@ -44,6 +44,13 @@ def main():
                     help="feature-KD weight override (paid out of alpha); "
                          "the projected teacher features are image-grounded, "
                          "so raising beta transfers grounding to the CNN")
+    ap.add_argument("--no-color-jitter", action="store_true",
+                    help="KD augmentation without color jitter (keep flips). "
+                         "The reference's hue jitter of 0.1 (~36 deg) "
+                         "rotates the synthetic band colors ACROSS category "
+                         "boundaries, decorrelating the caption's color "
+                         "word from the augmented image — harmless on real "
+                         "photos, lethal on a color-naming task")
     ap.add_argument("--no-refinement", action="store_true",
                     help="use_attention_refinement=False (reference "
                          "constructor option, student_model.py:263): the "
@@ -113,13 +120,18 @@ def main():
         print("=== KD: reusing existing checkpoint ===", flush=True)
     else:
         print("=== KD ===", flush=True)
+        aug = None
+        if args.no_color_jitter:
+            from imagecaptioner_tpu.data.transforms import AugmentConfig
+            aug = AugmentConfig(hflip_prob=0.5)
         train_student_with_kd(
             data, teacher_checkpoint=os.path.join(out,
                                                   "best_teacher_model.npz"),
             output_dir=out, train_cfg=KDTrainConfig(**kd_kw),
             distill_cfg=d_cfg,
             freeze_backbone=not args.unfreeze_backbone,
-            use_attention_refinement=not args.no_refinement, verbose=True)
+            use_attention_refinement=not args.no_refinement,
+            aug=aug, verbose=True)
 
     # sample captions from both models on train images
     from imagecaptioner_tpu.eval.evaluate_student import load_student_evaluator
@@ -169,6 +181,12 @@ def main():
                    "option; with KL-dominant training the refinement block "
                    "learns to erase image identity — measured 0.99 "
                    "cross-image cosine at its output vs 0.90 at its input)")
+    if args.no_color_jitter:
+        dev.append("color jitter disabled (reference KD aug uses hue 0.1 "
+                   "~ 36 deg rotation — crosses the synthetic palette's "
+                   "color-category boundaries, decorrelating the caption's "
+                   "color words from the augmented image; harmless on real "
+                   "photos)")
     lines = [
         "# End-to-end convergence demo (synthetic data, real TPU)",
         "",

@@ -182,11 +182,35 @@ def config_3():
 
     m8 = _measure(beam8, mk8, items_per_call=8.0, flops_per_item=4.6e9,
                   n_small=2, n_large=8)
+
+    # Serving-style stream: one dispatch processes K batched-8 beam searches
+    # via lax.map, amortizing the relay's per-dispatch floor (measured
+    # ~120-130 ms/call regardless of B or even of running the decode loop —
+    # benchmarks/beam_diagnosis.json; round-1's "weak batched scaling" was
+    # entirely that floor).
+    K = 4
+
+    @jax.jit
+    def beam_stream(stacked):  # (K, 8, 3, 224, 224)
+        def one(imgs):
+            memory = TM.encode_image(params, imgs, cfg)
+            return D.beam_search_teacher_batched(params, memory, cfg,
+                                                 max_length=20, beam_size=5)[0]
+        return jax.lax.map(one, stacked)
+
+    def mk_stream(i):
+        return jax.random.normal(jax.random.PRNGKey(200000 + i),
+                                 (K, 8, 3, 224, 224), jnp.bfloat16)
+
+    ms = _measure(beam_stream, mk_stream, items_per_call=8.0 * K,
+                  flops_per_item=4.6e9, n_small=2, n_large=8)
     return {"name": "teacher_beam_search_197tok",
             "p50_latency_s": m1["p50_latency_s"],
             "images_per_sec": m1["items_per_sec"],
             "batched8_images_per_sec": m8["items_per_sec"],
-            "measurement": {"single": m1, "batched8": m8}}
+            "streamed_batched_images_per_sec": ms["items_per_sec"],
+            "measurement": {"single": m1, "batched8": m8,
+                            "streamed": ms}}
 
 
 def config_4():

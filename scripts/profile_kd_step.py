@@ -12,6 +12,10 @@ Usage: python scripts/profile_kd_step.py [--batch 16]
 from __future__ import annotations
 
 import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import json
 
 
@@ -88,7 +92,8 @@ def main():
     @jax.jit
     def student_encode(img):
         raw, refined, _ = SM.encode_image(s_params, s_state, img, s_cfg,
-                                          train=True)
+                                          train=True,
+                                          rng=jax.random.PRNGKey(0))
         return refined[0, 0, 0]
 
     # -- full student forward -------------------------------------------------
@@ -136,8 +141,12 @@ def main():
     tr = KDTrainConfig(batch_size=B, accumulation_steps=1)
     step = steps.make_kd_train_step(t_cfg, s_cfg, DistillConfig(), tr,
                                     compute_dtype=dt)
-    params = {"student": s_params, "projectors": projectors}
-    state = steps.TrainState(params, O.adamw_init(params), s_state)
+    # the step donates its TrainState — give it COPIES so the component
+    # measurements below can still close over the original s_params
+    params = jax.tree.map(jnp.copy,
+                          {"student": s_params, "projectors": projectors})
+    state = steps.TrainState(params, O.adamw_init(params),
+                             jax.tree.map(jnp.copy, s_state))
 
     def kd_batch(i):
         rng = np.random.default_rng(i)

@@ -304,6 +304,20 @@ def test_maybe_mesh_refuses_indivisible_multihost(monkeypatch):
         common.maybe_mesh(3)  # global batch 6 over 8 devices
 
 
+def test_get_loader_host_shard_noop_single_process(tmp_path):
+    """host_shard=True must leave the dataset intact when there is only one
+    process (the trainers pass it unconditionally)."""
+    from imagecaptioner_tpu.data.loader import get_loader
+
+    csv = tmp_path / "caps.csv"
+    csv.write_text("image,caption\n" + "".join(
+        f"i{k}.jpg,a dog runs fast\n" for k in range(8)))
+    _, ds_plain = get_loader(str(tmp_path), str(csv))
+    _, ds_shard = get_loader(str(tmp_path), str(csv), host_shard=True)
+    assert len(ds_shard) == len(ds_plain) == 8
+    assert ds_shard.imgs == ds_plain.imgs
+
+
 def test_initialize_noop_single_process():
     from imagecaptioner_tpu.parallel import multihost as MH
 

@@ -34,26 +34,8 @@ def stacked_batches(loader, accumulation_steps: int, *, mesh=None,
         yield from gen()
         return
 
-    import jax
-    from jax.sharding import NamedSharding, PartitionSpec as P
-
-    # Multi-host: each process holds only its host_shard of the data, so the
-    # stack is assembled into a GLOBAL array from process-local shards (the
-    # batch axis grows by process_count); single-host is a plain device_put.
-    multiproc = jax.process_count() > 1
-
-    def put_arr(x, spec):
-        sh = NamedSharding(mesh, spec)
-        if multiproc:
-            return jax.make_array_from_process_local_data(sh, x)
-        return jax.device_put(x, sh)
-
     def put(stk):
-        return {
-            "images": put_arr(stk["images"], P(None, "data")),
-            "captions": put_arr(stk["captions"], P(None, None, "data")),
-            "lengths": put_arr(stk["lengths"], P(None, "data")),
-        }
+        return put_global_batch(mesh, stk, stacked=True)
 
     import collections
 
@@ -71,6 +53,35 @@ def stacked_batches(loader, accumulation_steps: int, *, mesh=None,
         except StopIteration:
             pass
         yield out
+
+
+def put_global_batch(mesh, batch: Dict, *, stacked: bool = True) -> Dict:
+    """Place a host-local batch onto ``mesh`` with the batch axis sharded
+    over 'data'.
+
+    Multi-host: each process holds only its host_shard of the data, so the
+    batch is assembled into a GLOBAL array from process-local shards (the
+    batch axis grows by process_count); single-host is a plain device_put.
+    ``stacked=True`` expects accumulation stacks with a leading (A, ...)
+    axis (train); ``stacked=False`` takes a single loader batch (eval).
+    """
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    multiproc = jax.process_count() > 1
+    pre = (None,) if stacked else ()
+
+    def put_arr(x, spec):
+        sh = NamedSharding(mesh, P(*spec))
+        if multiproc:
+            return jax.make_array_from_process_local_data(sh, x)
+        return jax.device_put(x, sh)
+
+    return {
+        "images": put_arr(batch["images"], pre + ("data",)),
+        "captions": put_arr(batch["captions"], pre + (None, "data")),
+        "lengths": put_arr(batch["lengths"], pre + ("data",)),
+    }
 
 
 def distributed_init_from_env() -> bool:
@@ -101,9 +112,18 @@ def maybe_mesh(batch_size: int, enabled: bool = True):
     ``batch_size`` is the PER-HOST loader batch; the global batch a step
     consumes is that times process_count (each host contributes its shard via
     stacked_batches)."""
+    import jax
+
+    if jax.process_count() > 1 and not enabled:
+        # Independent per-process training silently diverges (every process
+        # would write the same checkpoint files) — refuse, regardless of the
+        # data_parallel flag.
+        raise ValueError(
+            "multi-host run requires data parallelism: data_parallel=False "
+            f"with {jax.process_count()} processes would train "
+            "process-independent models")
     if not enabled:
         return None
-    import jax
 
     n = len(jax.devices())
     global_batch = batch_size * jax.process_count()
@@ -120,6 +140,21 @@ def maybe_mesh(batch_size: int, enabled: bool = True):
         print(f"[dp] global batch {global_batch} not divisible by {n} "
               "devices — running replicated")
     return None
+
+
+def step_context(mesh):
+    """Context to enter around train/eval step calls when training over a
+    mesh: activates the DP fused-attention policy (per-batch-shard Pallas
+    kernel via shard_map) so multi-chip DP keeps the fused path.  A no-op
+    without a mesh, and the policy itself is a no-op off-TPU / under SP
+    (ops/pallas_attention.default_attn_impl)."""
+    if mesh is None:
+        import contextlib
+
+        return contextlib.nullcontext()
+    from imagecaptioner_tpu.ops.pallas_attention import data_parallel_attention
+
+    return data_parallel_attention(mesh)
 
 
 class EarlyStopping:

@@ -147,9 +147,22 @@ def make_teacher_train_step(
     return step
 
 
+def _replicated_out(mesh):
+    """jit kwargs pinning every output replicated over ``mesh`` — required in
+    multi-host runs, where outputs GSPMD shards over the global batch would
+    not be fully addressable from any one process (ADVICE r2)."""
+    if mesh is None:
+        return {}
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    return {"out_shardings": NamedSharding(mesh, P())}
+
+
 def make_teacher_eval_step(t_cfg: TeacherConfig, tr_cfg: TeacherTrainConfig, *,
-                           compute_dtype=jnp.float32):
-    @jax.jit
+                           compute_dtype=jnp.float32, mesh=None):
+    """``mesh``: pass the training mesh to evaluate global eval batches
+    (assembled by common.put_global_batch) with replicated outputs."""
+    @functools.partial(jax.jit, **_replicated_out(mesh))
     def step(params, batch: Dict) -> jnp.ndarray:
         images = T.normalize(batch["images"], dtype=compute_dtype)
         cap_in = batch["captions"][:-1, :]
@@ -346,9 +359,13 @@ def make_kd_train_step(
 def make_kd_eval_step(
     t_cfg: TeacherConfig, s_cfg: StudentConfig, d_cfg: DistillConfig, *,
     compute_dtype=jnp.float32, optimized: bool = False,
-    od_cfg: Optional[OptimizedDistillConfig] = None,
+    od_cfg: Optional[OptimizedDistillConfig] = None, mesh=None,
 ):
-    @jax.jit
+    """Returns (loss, loss_dict, preds, cap_tgt).  ``cap_tgt`` is returned so
+    monitoring-BLEU can pair predictions with their targets even when the
+    batch is a multi-host GLOBAL assembly (host-local captions would pair
+    the wrong columns).  ``mesh``: pins outputs replicated (ADVICE r2)."""
+    @functools.partial(jax.jit, **_replicated_out(mesh))
     def step(params, model_state, teacher_params, batch: Dict,
              epoch: jnp.ndarray):
         images = T.normalize(batch["images"], dtype=compute_dtype)
@@ -366,6 +383,6 @@ def make_kd_eval_step(
                 student_out, teacher_out, cap_tgt, d_cfg,
                 lengths=batch["lengths"])
         preds = jnp.argmax(student_out["logits"].astype(jnp.float32), -1)
-        return loss, ld, preds
+        return loss, ld, preds, cap_tgt
 
     return step

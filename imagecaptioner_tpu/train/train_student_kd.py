@@ -48,20 +48,30 @@ def load_teacher(teacher_checkpoint: str, vocab_size: int):
 
 
 def validate_student(eval_step, params, model_state, teacher_params,
-                     val_loader, vocab, *, epoch=0, max_batches=50):
+                     val_loader, vocab, *, epoch=0, max_batches=50,
+                     mesh=None):
     """validate_student_model (train_student_kd.py:29-86): loss over
-    <=max_batches, monitoring BLEU on 2 samples x first 5 batches."""
+    <=max_batches, monitoring BLEU on 2 samples x first 5 batches.
+
+    With a ``mesh``, host-local val batches are assembled into GLOBAL eval
+    batches (multi-host: every process contributes its host_shard; eval work
+    is divided, not duplicated) and the eval step's replicated outputs make
+    loss/preds host-fetchable on every process."""
     losses, bleus, n = [], [], 0
     for bi, batch in enumerate(val_loader):
         if bi >= max_batches:
             break
-        loss, _, preds = eval_step(params, model_state, teacher_params, batch,
-                                   jnp.int32(epoch))
-        b = batch["images"].shape[0]
+        if mesh is not None:
+            batch = common.put_global_batch(mesh, batch, stacked=False)
+        with common.step_context(mesh):
+            loss, _, preds, cap_tgt = eval_step(params, model_state,
+                                                teacher_params, batch,
+                                                jnp.int32(epoch))
+        b = int(preds.shape[1])  # global batch when mesh is active
         losses.append(float(loss) * b)
         n += b
         if bi < 5:
-            cap_tgt = batch["captions"][1:, :]
+            cap_tgt = np.asarray(cap_tgt)
             for i in range(min(2, preds.shape[1])):
                 bleus.append(monitoring_bleu(
                     np.asarray(preds[:, i]), cap_tgt[:, i], vocab))
@@ -103,10 +113,13 @@ def train_student_with_kd(
         data_root, captions_file, batch_size=tr.batch_size,
         max_caption_len=max_caption_len, shuffle=True, seed=seed,
         image_size=image_size, host_shard=True)
+    # val is host-sharded too: multi-host validation assembles GLOBAL eval
+    # batches from per-process shards instead of every process duplicating
+    # the full val pass (single-process: host_shard is a no-op)
     val_loader, _ = get_loader(
         data_root, captions_file, batch_size=tr.batch_size,
         max_caption_len=max_caption_len, shuffle=False, vocab=dataset.vocab,
-        image_size=image_size)
+        image_size=image_size, host_shard=True)
     vocab = dataset.vocab
     vocab_size = len(vocab)
 
@@ -157,12 +170,12 @@ def train_student_with_kd(
     aug_kw = {} if aug is None else {"aug": aug}
     train_step = steps.make_kd_train_step(
         t_cfg, s_cfg, d_cfg, tr, compute_dtype=compute_dtype, **aug_kw)
-    eval_step = steps.make_kd_eval_step(
-        t_cfg, s_cfg, d_cfg, compute_dtype=compute_dtype)
 
     # divisibility must be judged on the loader's EFFECTIVE batch
     # (get_loader silently caps at 16 and at dataset size)
     mesh = common.maybe_mesh(train_loader.batch_size, data_parallel)
+    eval_step = steps.make_kd_eval_step(
+        t_cfg, s_cfg, d_cfg, compute_dtype=compute_dtype, mesh=mesh)
     if mesh is not None:
         from imagecaptioner_tpu.core import mesh as MS
 
@@ -217,8 +230,9 @@ def train_student_with_kd(
                 break
             sched_t = jnp.float32(epoch + idx / steps_per_epoch)
             key, k_step = jax.random.split(key)
-            state, metrics = train_step(state, teacher_params, stacked,
-                                        sched_t, jnp.int32(epoch), k_step)
+            with common.step_context(mesh):
+                state, metrics = train_step(state, teacher_params, stacked,
+                                            sched_t, jnp.int32(epoch), k_step)
             step_metrics.append(metrics)
             nb += 1
             if verbose and idx % 50 == 0:  # sync only at log boundaries
@@ -242,7 +256,7 @@ def train_student_with_kd(
         if epoch % tr.validate_every == 0:
             val_loss, val_bleu = validate_student(
                 eval_step, state.params, state.model_state, teacher_params,
-                val_loader, vocab, epoch=epoch)
+                val_loader, vocab, epoch=epoch, mesh=mesh)
             val_losses.append(val_loss)
             val_bleu_scores.append(val_bleu)
             if verbose:

@@ -68,15 +68,20 @@ def train_student_with_kd_optimized(
         data_root, captions_file, batch_size=tr.batch_size,
         max_caption_len=max_caption_len, shuffle=True, seed=seed,
         image_size=host_size, host_shard=True)
+    # host-sharded so multi-host validation divides (not duplicates) the
+    # val pass; no-op single-process
     val_loader, _ = get_loader(
         data_root, captions_file, batch_size=tr.batch_size,
         max_caption_len=max_caption_len, shuffle=False, vocab=dataset.vocab,
-        image_size=image_size)
+        image_size=image_size, host_shard=True)
     vocab = dataset.vocab
     vocab_size = len(vocab)
 
     teacher_params, t_cfg = load_teacher(teacher_checkpoint, vocab_size)
-    s_cfg = compact_student_config(vocab_size)
+    # fused Pallas decoder (custom-VJP, 1-layer compact kernel) on real TPU
+    s_cfg = compact_student_config(
+        vocab_size,
+        decoder_impl="pallas" if jax.default_backend() == "tpu" else "scan")
 
     key = jax.random.PRNGKey(seed)
     k_init, k_proj, key = jax.random.split(key, 3)
@@ -135,13 +140,12 @@ def train_student_with_kd_optimized(
         compute_dtype=compute_dtype, optimized=True, od_cfg=od_cfg,
         onecycle_total_steps=total_opt_steps,
         others_scale=tr.others_lr_scale, others_wd=tr.others_weight_decay)
-    eval_step = steps.make_kd_eval_step(
-        t_cfg, s_cfg, None, compute_dtype=compute_dtype, optimized=True,
-        od_cfg=od_cfg)
-
     # divisibility must be judged on the loader's EFFECTIVE batch
     # (get_loader silently caps at 16 and at dataset size)
     mesh = common.maybe_mesh(train_loader.batch_size, data_parallel)
+    eval_step = steps.make_kd_eval_step(
+        t_cfg, s_cfg, None, compute_dtype=compute_dtype, optimized=True,
+        od_cfg=od_cfg, mesh=mesh)
     if mesh is not None:
         from imagecaptioner_tpu.core import mesh as MS
 
@@ -166,14 +170,18 @@ def train_student_with_kd_optimized(
         for bi, batch in enumerate(val_loader):
             if bi >= max_batches:
                 break
-            loss, _, preds = eval_step(state.params, state.model_state,
-                                       teacher_params, batch,
-                                       jnp.int32(epoch))
-            b = batch["images"].shape[0]
+            if mesh is not None:
+                batch = common.put_global_batch(mesh, batch, stacked=False)
+            with common.step_context(mesh):
+                loss, _, preds, cap_tgt = eval_step(state.params,
+                                                    state.model_state,
+                                                    teacher_params, batch,
+                                                    jnp.int32(epoch))
+            b = int(preds.shape[1])  # global batch when mesh is active
             losses.append(float(loss) * b)
             n += b
             if bi == 0:
-                cap_tgt = batch["captions"][1:, :]
+                cap_tgt = np.asarray(cap_tgt)
                 for i in range(min(2, preds.shape[1])):
                     bleus.append(monitoring_bleu(
                         np.asarray(preds[:, i]), cap_tgt[:, i], vocab))
@@ -217,9 +225,10 @@ def train_student_with_kd_optimized(
             if max_steps_per_epoch is not None and idx >= max_steps_per_epoch:
                 break
             key, k_step = jax.random.split(key)
-            state, metrics = train_step(state, teacher_params, stacked,
-                                        jnp.float32(global_step),
-                                        jnp.int32(epoch), k_step)
+            with common.step_context(mesh):
+                state, metrics = train_step(state, teacher_params, stacked,
+                                            jnp.float32(global_step),
+                                            jnp.int32(epoch), k_step)
             global_step += 1
             step_metrics.append(metrics)
             nb += 1

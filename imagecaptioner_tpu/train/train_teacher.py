@@ -59,10 +59,12 @@ def train(
         data_root, captions_file, batch_size=tr.batch_size,
         max_caption_len=max_caption_len, shuffle=True, seed=seed,
         image_size=image_size, host_shard=True)
+    # host-sharded so multi-host validation divides (not duplicates) the
+    # val pass; no-op single-process
     val_loader, _ = get_loader(
         data_root, captions_file, batch_size=tr.batch_size,
         max_caption_len=max_caption_len, shuffle=False, vocab=dataset.vocab,
-        image_size=image_size)
+        image_size=image_size, host_shard=True)
     vocab = dataset.vocab
     vocab_size = len(vocab)
     if verbose:
@@ -95,12 +97,13 @@ def train(
             print(f"Resumed from {resume_from} at epoch {start_epoch}")
     train_step = steps.make_teacher_train_step(t_cfg, tr,
                                                compute_dtype=compute_dtype)
-    eval_step = steps.make_teacher_eval_step(t_cfg, tr,
-                                             compute_dtype=compute_dtype)
 
     # divisibility must be judged on the loader's EFFECTIVE batch
     # (get_loader silently caps at 16 and at dataset size)
     mesh = common.maybe_mesh(train_loader.batch_size, data_parallel)
+    eval_step = steps.make_teacher_eval_step(t_cfg, tr,
+                                             compute_dtype=compute_dtype,
+                                             mesh=mesh)
     if mesh is not None:
         from imagecaptioner_tpu.core import mesh as MS
 
@@ -119,7 +122,10 @@ def train(
     def validate(params):
         losses = []
         for batch in val_loader:
-            losses.append(float(eval_step(params, batch)))
+            if mesh is not None:
+                batch = common.put_global_batch(mesh, batch, stacked=False)
+            with common.step_context(mesh):
+                losses.append(float(eval_step(params, batch)))
         return float(np.mean(losses)) if losses else float("nan")
 
     def ckpt_tree(epoch, extra):
@@ -155,7 +161,9 @@ def train(
                 break
             epoch_time = jnp.float32(epoch + idx / steps_per_epoch)
             key, k_step = jax.random.split(key)
-            state, metrics = train_step(state, stacked, epoch_time, k_step)
+            with common.step_context(mesh):
+                state, metrics = train_step(state, stacked, epoch_time,
+                                            k_step)
             epoch_losses.append(metrics["loss"])
         epoch_losses = [float(x) for x in jax.device_get(epoch_losses)]
         avg_train = float(np.mean(epoch_losses)) if epoch_losses else float("nan")

@@ -107,7 +107,7 @@ def global_data():
         "lengths": np.full((A, BG), T, np.int32),
     }
 
-def run_one_step(mesh, loader):
+def run_one_step(mesh, loader, val_batch):
     teacher_params, state = build_state()
     state = MS.replicate(mesh, state)
     teacher_params = MS.replicate(mesh, teacher_params)
@@ -120,7 +120,16 @@ def run_one_step(mesh, loader):
     loss = float(jax.device_get(metrics["total_loss"]))
     leaves = jax.tree.leaves(state.params["student"])
     sq = sum(jnp.sum(x.astype(jnp.float32) ** 2) for x in leaves)
-    return loss, float(jnp.sqrt(sq))
+    # validation: host-local val shard -> GLOBAL eval batch, replicated
+    # outputs fetchable on every process (ADVICE r2 multi-host validation)
+    eval_step = steps.make_kd_eval_step(t_cfg, s_cfg, DistillConfig(),
+                                        compute_dtype=jnp.float32, mesh=mesh)
+    gb = common.put_global_batch(mesh, val_batch, stacked=False)
+    vloss, _, preds, cap_tgt = eval_step(state.params, state.model_state,
+                                         teacher_params, gb, jnp.int32(0))
+    assert preds.shape[1] == BG  # global batch, not the host-local shard
+    pred_sum = int(np.asarray(preds).sum()) + int(np.asarray(cap_tgt).sum())
+    return loss, float(jnp.sqrt(sq)), float(jax.device_get(vloss)), pred_sum
 """
 
 KD_WORKER = r"""
@@ -148,8 +157,11 @@ class HostShardLoader:
                    "captions": g["captions"][a][:, sh],
                    "lengths": g["lengths"][a][sh]}
 
-loss, wnorm = run_one_step(mesh, HostShardLoader())
-print("RESULT::" + json.dumps({"pid": pid, "loss": loss, "wnorm": wnorm}),
+val = {"images": g["images"][1][sh], "captions": g["captions"][1][:, sh],
+       "lengths": g["lengths"][1][sh]}
+loss, wnorm, vloss, psum = run_one_step(mesh, HostShardLoader(), val)
+print("RESULT::" + json.dumps({"pid": pid, "loss": loss, "wnorm": wnorm,
+                               "vloss": vloss, "psum": psum}),
       flush=True)
 # processes can drift on uncached compiles or a loaded box; reaching
 # shutdown >30s apart trips the coordination-service shutdown barrier, so
@@ -181,8 +193,11 @@ class PermLoader:
                    "captions": g["captions"][a][:, perm],
                    "lengths": g["lengths"][a][perm]}
 
-loss, wnorm = run_one_step(mesh, PermLoader())
-print("RESULT::" + json.dumps({"loss": loss, "wnorm": wnorm}), flush=True)
+val = {"images": g["images"][1][perm], "captions": g["captions"][1][:, perm],
+       "lengths": g["lengths"][1][perm]}
+loss, wnorm, vloss, psum = run_one_step(mesh, PermLoader(), val)
+print("RESULT::" + json.dumps({"loss": loss, "wnorm": wnorm, "vloss": vloss,
+                               "psum": psum}), flush=True)
 """
 
 
@@ -216,9 +231,12 @@ def _run_workers(env, port):
     if all(rc == 0 for rc, _ in outs):
         return [o for _, o in outs], False
     # A loaded box can still trip the 30s shutdown barrier even after the
-    # pre-exit sync; that is a timing flake, not a correctness failure —
-    # report it distinctly so the caller can retry once.
-    flake = any("Shutdown barrier" in o for _, o in outs)
+    # pre-exit sync, or time out the 30s Gloo collective-connect while a
+    # worker is descheduled (observed at load average ~8 on 1 core); both
+    # are timing flakes, not correctness failures — report distinctly so
+    # the caller can retry.
+    flake = any("Shutdown barrier" in o or "DEADLINE_EXCEEDED" in o
+                for _, o in outs)
     if not flake:
         bad = next(o for rc, o in outs if rc != 0)
         pytest.fail(f"kd worker failed:\n{bad[-3000:]}")
@@ -264,6 +282,11 @@ def test_two_process_kd_train_step_matches_serial():
     assert abs(workers[0]["loss"] - workers[1]["loss"]) < 1e-6
     assert abs(workers[0]["loss"] - ref["loss"]) < 1e-4
     assert abs(workers[0]["wnorm"] - ref["wnorm"]) < 1e-4
+    # validation: both processes computed the SAME global val loss and could
+    # fetch the full replicated preds/targets, matching serial
+    assert abs(workers[0]["vloss"] - workers[1]["vloss"]) < 1e-6
+    assert abs(workers[0]["vloss"] - ref["vloss"]) < 1e-4
+    assert workers[0]["psum"] == workers[1]["psum"] == ref["psum"]
 
 
 # -- single-process unit coverage of the wiring ------------------------------

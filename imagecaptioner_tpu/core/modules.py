@@ -237,13 +237,26 @@ def multi_head_attention(
                  and (not causal or q.shape[2] == k.shape[2]))
     if use_fused:
         from imagecaptioner_tpu.ops.pallas_attention import (
-            fused_attention_core)
+            dp_attention_policy, fused_attention_core, fused_attention_sharded)
 
-        out = fused_attention_core(q, k, v, causal, scale)
+        pol = dp_attention_policy()
+        if pol is not None:
+            # DP mesh: per-batch-shard kernel via shard_map (the kernel is
+            # opaque to GSPMD; without this the fused path would be lost the
+            # moment training goes multi-chip — VERDICT r2 #3)
+            out = fused_attention_sharded(q, k, v, causal, scale,
+                                          pol[0], pol[1])
+        else:
+            out = fused_attention_core(q, k, v, causal, scale)
     else:
         logits = jnp.einsum(
             "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
         ) * scale
+        if attn_mask is None and causal:
+            # same contract as the fused kernel: causal=True masks even when
+            # no explicit mask tensor was passed (Lq==Lk callers)
+            lq, lk = q.shape[2], k.shape[2]
+            attn_mask = jnp.triu(jnp.ones((lq, lk), bool), k=1)
         if attn_mask is not None:
             logits = jnp.where(attn_mask[None, None, :, :], -jnp.inf, logits)
         weights = jax.nn.softmax(logits, axis=-1)

@@ -17,6 +17,13 @@ runs the full KD step under DP x TP x SP.
 Usage:
     with sp.sequence_sharding(mesh, axis="model"):
         step = jax.jit(train_step)   # trace inside the policy
+
+The policy is read at trace time, and jit caches are KEYED on it:
+``sequence_sharding`` also enters ``jax.set_mesh(mesh)``, whose context mesh
+is part of the jit cache key (verified: a function traced outside the
+context re-traces on first call inside it, and each context keeps its own
+cache entry).  A step jitted outside the policy therefore cannot silently
+run unconstrained inside it, or vice versa.
 """
 
 from __future__ import annotations
@@ -33,12 +40,15 @@ _POLICY: Optional[Tuple[Mesh, str]] = None
 @contextmanager
 def sequence_sharding(mesh: Mesh, axis: str = "model"):
     """Activate sequence sharding for every teacher forward traced inside
-    this context (jit caches the constraint at trace time)."""
+    this context.  Entering ``jax.set_mesh`` keys every jit cache on the
+    policy, so previously-traced steps re-trace here instead of reusing an
+    unconstrained trace (and constrained traces don't leak back outside)."""
     global _POLICY
     prev = _POLICY
     _POLICY = (mesh, axis)
     try:
-        yield
+        with jax.set_mesh(mesh):
+            yield
     finally:
         _POLICY = prev
 

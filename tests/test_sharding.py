@@ -194,3 +194,46 @@ def test_teacher_dp_tp_sp_combined():
             tp_params, img_s, cap_s)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_sequence_sharding_rekeys_jit_cache():
+    """ADVICE r2: the SP policy is read at trace time, so jit caches must be
+    KEYED on it — a step first traced outside sequence_sharding() must
+    re-trace (and pick up the constraints) when first called inside, and the
+    constrained trace must not leak back outside.  sequence_sharding enters
+    jax.set_mesh, whose context mesh is part of the jit cache key."""
+    import jax.numpy as jnp
+
+    from imagecaptioner_tpu.core import mesh as MS
+    from imagecaptioner_tpu.parallel import sp
+
+    mesh = MS.create_mesh(jax.devices()[:4], shape=(2, 2))
+    traced_policies = []
+
+    @jax.jit
+    def step(x):
+        traced_policies.append(sp.active())
+        return sp.shard_seq(x * 2.0, 1)
+
+    x = jnp.ones((2, 4, 8))
+    step(x)  # traced OUTSIDE the policy
+    assert traced_policies == [False]
+    with sp.sequence_sharding(mesh, axis="model"):
+        out_in = step(x)  # must RE-trace, now seeing the policy
+    assert traced_policies == [False, True]
+    out_after = step(x)  # back outside: reuses the unconstrained trace
+    assert traced_policies == [False, True]
+    np.testing.assert_allclose(np.asarray(out_in), np.asarray(out_after))
+
+
+def test_maybe_mesh_refuses_disabled_dp_multiprocess(monkeypatch):
+    """ADVICE r2: data_parallel=False in a multi-process run must refuse
+    (independent per-process training silently diverges) even though the
+    enabled=False early return used to bypass the guard."""
+    import pytest
+
+    from imagecaptioner_tpu.train import common
+
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    with pytest.raises(ValueError, match="data parallelism"):
+        common.maybe_mesh(16, enabled=False)

@@ -95,30 +95,66 @@ def greedy_decode_student(
     return toks.T  # (B, max_length)
 
 
+_FALLBACK_LOGGED: set = set()
+
+
+def _log_fallback_once(kind: str, err: BaseException, *, expected: bool):
+    """One loud signal per process per kernel when the serving path degrades
+    to lax.scan (VERDICT r2: a silent `except: pass` here would let a kernel
+    regression silently lose the fused path with zero signal)."""
+    if kind in _FALLBACK_LOGGED:
+        return
+    _FALLBACK_LOGGED.add(kind)
+    import warnings
+
+    if expected:  # shape-dependent VMEM budget — by-design fallback
+        print(f"[decode] {kind}: {err} — using the lax.scan path", flush=True)
+    else:
+        warnings.warn(
+            f"pallas greedy decode ({kind}) FAILED unexpectedly — serving "
+            f"degraded to the lax.scan path. Kernel regression? {err!r}",
+            RuntimeWarning, stacklevel=3)
+
+
 def best_greedy_decode_student(params, feats, cfg: StudentConfig, *,
                                max_length: int = 20, temperature: float = 1.0,
                                rng=None):
     """Greedy decode with the fastest available implementation: the fused
-    Pallas kernel on TPU for the 2-layer full student (argmax path), the
-    lax.scan path otherwise.  Token-identical by test contract."""
+    Pallas kernel on TPU for the full (2-layer) and compact (1-layer)
+    students (argmax path), the lax.scan path otherwise.  Token-identical by
+    test contract (tests/test_pallas_greedy.py).
+
+    Fallbacks are never silent: an over-VMEM shape logs once (expected,
+    ops/pallas_greedy.GreedyVmemExceeded), any other kernel failure warns
+    once with the error.  Set IC_STRICT_PALLAS=1 to re-raise instead of
+    falling back (used by the TPU test asserting the kernel path is live).
+    """
     if rng is None and jax.default_backend() not in ("cpu",):
-        try:
-            if cfg.variant == "full" and cfg.num_layers == 2:
-                from imagecaptioner_tpu.ops.pallas_greedy import (
-                    pallas_greedy_decode_student)
+        import os
 
-                return pallas_greedy_decode_student(
-                    params, feats, cfg, max_length=max_length,
-                    temperature=temperature)
-            if cfg.variant == "compact" and cfg.num_layers == 1:
-                from imagecaptioner_tpu.ops.pallas_greedy import (
-                    pallas_greedy_decode_compact)
+        from imagecaptioner_tpu.ops.pallas_greedy import (
+            GreedyVmemExceeded, pallas_greedy_decode_compact,
+            pallas_greedy_decode_student)
 
-                return pallas_greedy_decode_compact(
-                    params, feats, cfg, max_length=max_length,
-                    temperature=temperature)
-        except Exception:
-            pass  # fall back to the scan path
+        strict = os.environ.get("IC_STRICT_PALLAS") == "1"
+        kernel = None
+        if cfg.variant == "full" and cfg.num_layers == 2:
+            kernel = ("pallas_greedy_full", pallas_greedy_decode_student)
+        elif cfg.variant == "compact" and cfg.num_layers == 1:
+            kernel = ("pallas_greedy_compact", pallas_greedy_decode_compact)
+        if kernel is not None:
+            kind, fn = kernel
+            try:
+                return fn(params, feats, cfg, max_length=max_length,
+                          temperature=temperature)
+            except GreedyVmemExceeded as e:
+                if strict:
+                    raise
+                _log_fallback_once(kind, e, expected=True)
+            except Exception as e:  # noqa: BLE001 — any kernel failure
+                if strict:
+                    raise
+                _log_fallback_once(kind, e, expected=False)
     return greedy_decode_student(params, feats, cfg, max_length=max_length,
                                  temperature=temperature, rng=rng)
 
@@ -239,38 +275,12 @@ def beam_search_teacher(
         origin = (top_idx // V).astype(jnp.int32)
         token = (top_idx % V).astype(jnp.int32)
 
-        accepted = jnp.arange(K) < state["n_live"]             # reference topk(B_live)
-        is_end = token == END
-        finalize = accepted & is_end & jnp.isfinite(top_scores)
-        keep = accepted & (~is_end) & jnp.isfinite(top_scores)
-
-        # --- finalize into the finished buffer (candidate order preserved) --
-        hyp_len = t + 2  # includes <START> and <END>
-        norm = top_scores / lp(jnp.int32(hyp_len))
-        slot = state["fin_count"] + jnp.cumsum(finalize.astype(jnp.int32)) - 1
-        slot = jnp.where(finalize, slot, K)  # K = scatter-drop
-        fin_seq_rows = state["seqs"][origin].at[:, t + 1].set(token)
-        fin_seqs = _scatter_rows(state["fin_seqs"], slot, fin_seq_rows, finalize)
-        fin_scores = _scatter_vals(state["fin_scores"], slot, norm, finalize)
-        fin_lens = _scatter_vals(state["fin_lens"], slot,
-                                 jnp.full((K,), hyp_len, jnp.int32), finalize)
-        fin_count = state["fin_count"] + jnp.sum(finalize.astype(jnp.int32))
-
-        # --- compact surviving beams into slots 0..n_new-1 ------------------
-        # stable order: live candidates in score order (matches reference append)
-        order = jnp.argsort(jnp.where(keep, jnp.arange(K), K + jnp.arange(K)))
-        n_new = jnp.sum(keep.astype(jnp.int32))
-        src = order  # candidate index per new slot
-        new_seqs = state["seqs"][origin[src]].at[:, t + 1].set(token[src])
-        new_scores = jnp.where(jnp.arange(K) < n_new, top_scores[src], -jnp.inf)
+        new, origin_src = _beam_bookkeeping(
+            state, top_scores, origin, token, t, lp)
         # gather the *updated* kv (with this step's writes) per surviving beam
-        new_kv = {"k": self_kv["k"][:, origin[src]],
-                  "v": self_kv["v"][:, origin[src]]}
-        return dict(
-            seqs=new_seqs, scores=new_scores, n_live=n_new, self_kv=new_kv,
-            fin_seqs=fin_seqs, fin_scores=fin_scores, fin_lens=fin_lens,
-            fin_count=fin_count,
-        ), None
+        new["self_kv"] = {"k": self_kv["k"][:, origin_src],
+                          "v": self_kv["v"][:, origin_src]}
+        return new, None
 
     state, _ = jax.lax.scan(step, state, jnp.arange(max_length))
 
@@ -286,6 +296,141 @@ def beam_search_teacher(
 
     order = jnp.argsort(-fin_scores)
     return fin_seqs[order], fin_scores[order], fin_lens[order]
+
+
+def _beam_bookkeeping(state, top_scores, origin, token, t, lp):
+    """Per-image accept/finalize/compact step shared by the single-image and
+    packed beams.  ``state`` holds K-sized per-image arrays (no kv — the
+    caller gathers the cache with the returned ``origin_src``).
+
+    Semantics pinned by tests/test_beam_parity_torch.py: only the first
+    ``n_live`` score-ordered candidates are accepted (the reference's
+    ``topk(B_live)`` with shrinking beam), EOS candidates finalize with the
+    GNMT penalty in candidate order, survivors compact into slots
+    0..n_new-1 in score order."""
+    K = state["seqs"].shape[0]
+
+    accepted = jnp.arange(K) < state["n_live"]             # reference topk(B_live)
+    is_end = token == END
+    finalize = accepted & is_end & jnp.isfinite(top_scores)
+    keep = accepted & (~is_end) & jnp.isfinite(top_scores)
+
+    # --- finalize into the finished buffer (candidate order preserved) --
+    hyp_len = t + 2  # includes <START> and <END>
+    norm = top_scores / lp(jnp.int32(hyp_len))
+    slot = state["fin_count"] + jnp.cumsum(finalize.astype(jnp.int32)) - 1
+    slot = jnp.where(finalize, slot, K)  # K = scatter-drop
+    fin_seq_rows = state["seqs"][origin].at[:, t + 1].set(token)
+    fin_seqs = _scatter_rows(state["fin_seqs"], slot, fin_seq_rows, finalize)
+    fin_scores = _scatter_vals(state["fin_scores"], slot, norm, finalize)
+    fin_lens = _scatter_vals(state["fin_lens"], slot,
+                             jnp.full((K,), hyp_len, jnp.int32), finalize)
+    fin_count = state["fin_count"] + jnp.sum(finalize.astype(jnp.int32))
+
+    # --- compact surviving beams into slots 0..n_new-1 ------------------
+    # stable order: live candidates in score order (matches reference append)
+    order = jnp.argsort(jnp.where(keep, jnp.arange(K), K + jnp.arange(K)))
+    n_new = jnp.sum(keep.astype(jnp.int32))
+    src = order  # candidate index per new slot
+    new_seqs = state["seqs"][origin[src]].at[:, t + 1].set(token[src])
+    new_scores = jnp.where(jnp.arange(K) < n_new, top_scores[src], -jnp.inf)
+    return dict(
+        seqs=new_seqs, scores=new_scores, n_live=n_new,
+        fin_seqs=fin_seqs, fin_scores=fin_scores, fin_lens=fin_lens,
+        fin_count=fin_count,
+    ), origin[src]
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "max_length", "beam_size",
+                                             "length_penalty"))
+def beam_search_teacher_packed(
+    params: Dict, memory: jnp.ndarray, cfg: TeacherConfig, *,
+    max_length: int = 20, beam_size: int = 5, length_penalty: float = 0.6,
+):
+    """N-image beam search with the beams PACKED into the batch dimension.
+
+    ``beam_search_teacher_batched`` vmaps the whole single-image search, so
+    every per-step GEMM runs at batch K=5 (vmapped) — too skinny for the MXU
+    (benchmarks/beam_diagnosis.json: 46 ms per B=16 decode step-loop).  Here
+    the decoder step runs ONCE per step on the (N*K, ...) packed batch —
+    one MXU-shaped GEMM set — and only the cheap per-image bookkeeping
+    (top-k accept/finalize/compact, ~K-sized int ops) is vmapped.
+
+    Token-identical to ``beam_search_teacher_batched`` (same bookkeeping
+    code, tests/test_beam_batched.py).
+
+    memory (N, L, E) -> (seqs (N, K, S), scores (N, K), lens (N, K)).
+    """
+    N = memory.shape[0]
+    K = beam_size
+    S = max_length + 1
+    V = cfg.vocab_size
+    layers = params["decoder"]
+    # image n's beams live at packed rows n*K .. n*K+K-1
+    mem_nk = jnp.repeat(memory, K, axis=0)                    # (N*K, L, E)
+    mem_kv = TD.precompute_memory_kv(layers, mem_nk)
+    self_kv = TD.init_kv_cache(len(layers), N * K, S, cfg.embed_size,
+                               memory.dtype)
+
+    def lp(length):  # GNMT penalty, teacher_model.py:202
+        if length_penalty > 0:
+            return ((5.0 + length.astype(jnp.float32)) / 6.0) ** length_penalty
+        return jnp.float32(1.0)
+
+    state = dict(
+        seqs=jnp.full((N, K, S), PAD, jnp.int32).at[:, :, 0].set(START),
+        scores=jnp.full((N, K), -jnp.inf).at[:, 0].set(0.0),
+        n_live=jnp.full((N,), K, jnp.int32),
+        self_kv=self_kv,
+        fin_seqs=jnp.full((N, K, S), PAD, jnp.int32),
+        fin_scores=jnp.full((N, K), -jnp.inf),
+        fin_lens=jnp.zeros((N, K), jnp.int32),
+        fin_count=jnp.zeros((N,), jnp.int32),
+    )
+
+    book = jax.vmap(
+        lambda st, ts, og, tk, t: _beam_bookkeeping(st, ts, og, tk, t, lp),
+        in_axes=(0, 0, 0, 0, None))
+
+    def step(state, t):
+        tok = state["seqs"][:, :, t].reshape(N * K)
+        x = _teacher_embed_step(params, tok, t, cfg).astype(memory.dtype)
+        y, self_kv = TD.decoder_step_cached(layers, x, t, state["self_kv"],
+                                            mem_kv, num_heads=cfg.num_heads)
+        logits = _teacher_logits_step(params, y, cfg)          # (N*K, V)
+        logp = jax.nn.log_softmax(logits, axis=-1).reshape(N, K, V)
+        cand = state["scores"][:, :, None] + logp              # dead rows -inf
+        top_scores, top_idx = jax.lax.top_k(cand.reshape(N, K * V), K)
+        origin = (top_idx // V).astype(jnp.int32)              # (N, K)
+        token = (top_idx % V).astype(jnp.int32)
+
+        book_state = {k: state[k] for k in
+                      ("seqs", "scores", "n_live", "fin_seqs", "fin_scores",
+                       "fin_lens", "fin_count")}
+        new, origin_src = book(book_state, top_scores, origin, token, t)
+        # one global gather reorders every image's surviving beams' caches
+        gidx = (jnp.arange(N)[:, None] * K + origin_src).reshape(N * K)
+        new["self_kv"] = {"k": self_kv["k"][:, gidx],
+                          "v": self_kv["v"][:, gidx]}
+        return new, None
+
+    state, _ = jax.lax.scan(step, state, jnp.arange(max_length))
+
+    # If nothing finished, finalize live beams (teacher_model.py:231-236)
+    live_len = jnp.int32(S)
+    live_norm = jnp.where(jnp.arange(K)[None, :] < state["n_live"][:, None],
+                          state["scores"] / lp(live_len), -jnp.inf)
+    none_finished = (state["fin_count"] == 0)[:, None]
+    fin_scores = jnp.where(none_finished, live_norm, state["fin_scores"])
+    fin_seqs = jnp.where(none_finished[:, :, None], state["seqs"],
+                         state["fin_seqs"])
+    fin_lens = jnp.where(none_finished,
+                         jnp.full((N, K), S, jnp.int32), state["fin_lens"])
+
+    order = jnp.argsort(-fin_scores, axis=1)
+    return (jnp.take_along_axis(fin_seqs, order[:, :, None], axis=1),
+            jnp.take_along_axis(fin_scores, order, axis=1),
+            jnp.take_along_axis(fin_lens, order, axis=1))
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "max_length", "beam_size",

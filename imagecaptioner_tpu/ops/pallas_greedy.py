@@ -31,7 +31,21 @@ from jax.experimental.pallas import tpu as pltpu
 from imagecaptioner_tpu.core.config import StudentConfig
 from imagecaptioner_tpu.data.vocabulary import END, PAD, START
 from imagecaptioner_tpu.ops.pallas_lstm import (
-    _split_params, _vmem_estimate, _vmem_params)
+    _VMEM_CAP_BYTES, _split_params, _vmem_estimate, _vmem_params)
+
+
+class GreedyVmemExceeded(ValueError):
+    """Raised (at trace time) when the fused greedy kernel's whole-decode
+    VMEM residency would exceed the safe cap — an EXPECTED, shape-dependent
+    condition the dispatcher (ops/decode.best_greedy_decode_student) handles
+    by falling back to the lax.scan path."""
+
+
+def _check_vmem(est: int, what: str) -> None:
+    if est > _VMEM_CAP_BYTES:
+        raise GreedyVmemExceeded(
+            f"{what}: estimated VMEM {est / 2**20:.1f} MiB exceeds the "
+            f"{_VMEM_CAP_BYTES / 2**20:.0f} MiB cap")
 
 
 def _make_kernel(T: int, temperature: float):
@@ -221,6 +235,7 @@ def pallas_greedy_decode_compact(
     est = _vmem_estimate(
         operands, extra_shapes=[((B, max_length), jnp.int32)],
         scratch_bytes=(2 * B * H + 2 * B + B * max(128, max_length)) * 4)
+    _check_vmem(est, "compact greedy kernel")
     return pl.pallas_call(
         _make_compact_kernel(max_length, temperature),
         out_shape=jax.ShapeDtypeStruct((B, max_length), jnp.int32),
@@ -276,6 +291,7 @@ def pallas_greedy_decode_student(
     est = _vmem_estimate(
         operands, extra_shapes=[((B, max_length), jnp.int32)],
         scratch_bytes=(4 * B * H + 2 * B + B * max(128, max_length)) * 4)
+    _check_vmem(est, "full greedy kernel")
     out = pl.pallas_call(
         _make_kernel(max_length, temperature),
         out_shape=jax.ShapeDtypeStruct((B, max_length), jnp.int32),

@@ -204,11 +204,43 @@ def config_3():
 
     ms = _measure(beam_stream, mk_stream, items_per_call=8.0 * K,
                   flops_per_item=4.6e9, n_small=2, n_large=8)
+
+    # --- serving-style PACKED beam sweep (VERDICT r2 #4): the packed beam
+    # folds the K beams into the batch dim so each decode step is one
+    # MXU-shaped GEMM set instead of K-wide vmapped slivers, and the stream
+    # amortizes the relay's per-dispatch floor over Ks batched searches ---
+    sweep = {}
+    for N in (8, 16, 32):
+        Ks = max(1, 32 // N)  # ~32 images per dispatch across the sweep
+
+        @jax.jit
+        def beam_packed_stream(stacked, _N=N):  # (Ks, N, 3, 224, 224)
+            def one(imgs):
+                memory = TM.encode_image(params, imgs, cfg)
+                return D.beam_search_teacher_packed(
+                    params, memory, cfg, max_length=20, beam_size=5)[0]
+            return jax.lax.map(one, stacked)
+
+        def mk_packed(i, _N=N, _Ks=Ks):
+            return jax.random.normal(
+                jax.random.PRNGKey(300000 + 100 * _N + i),
+                (_Ks, _N, 3, 224, 224), jnp.bfloat16)
+
+        mp = _measure(beam_packed_stream, mk_packed,
+                      items_per_call=float(N * Ks), flops_per_item=4.6e9,
+                      n_small=2, n_large=8)
+        sweep[f"N{N}xK{Ks}"] = {
+            "images_per_sec": mp["items_per_sec"],
+            "p50_latency_s": mp["p50_latency_s"],
+            "measurement": mp}
+    best = max(sweep.values(), key=lambda d: d["images_per_sec"])
     return {"name": "teacher_beam_search_197tok",
             "p50_latency_s": m1["p50_latency_s"],
             "images_per_sec": m1["items_per_sec"],
             "batched8_images_per_sec": m8["items_per_sec"],
             "streamed_batched_images_per_sec": ms["items_per_sec"],
+            "serving_beam_sweep": sweep,
+            "packed_beam_images_per_sec": best["images_per_sec"],
             "measurement": {"single": m1, "batched8": m8,
                             "streamed": ms}}
 
@@ -285,6 +317,135 @@ def config_4():
     return out
 
 
+def config_5_converged(workdir: str, *, epochs_teacher: int = 12,
+                       epochs_kd: int = 200, images: int = 256,
+                       recipe: str = "grounded", reuse: bool = True):
+    """Converged end-to-end KD benchmark recording captioning parity.
+
+    The reference's headline claim is a student at 85-95% of teacher BLEU-1
+    (/root/reference/README.md:109), measured by its evaluator
+    (/root/reference/src/evaluate_student.py:272-378).  This config trains the
+    production 512/8/4 teacher + full student on a >=256-image learnable
+    synthetic set to the BLEU plateau and records student_bleu1,
+    teacher_bleu1, and their ratio — the re-runnable version of the round-2
+    demo (docs/demo_run.md), which proved convergence but was never a
+    recorded benchmark.
+
+    ``recipe``:
+      * "grounded" — the flagged-deviation recipe required for from-scratch
+        backbones on the synthetic color task (CE weight 0.5 paid out of
+        token-KD alpha, encoder LR scale 1.0, whole backbone trainable, no
+        attention refinement, no color jitter).  Every deviation is diagnosed
+        in docs/demo_run.md.
+      * "reference" — the reference's exact recipe (CE weight 0, frozen
+        backbone prefix, refinement on, hue-0.1 jitter).  Best-effort: it
+        assumes PRETRAINED backbones, unavailable in this container.
+
+    ``reuse=True`` resumes from existing checkpoints in ``workdir`` so a
+    completed run can be re-reported without re-training.
+    """
+    import numpy as np
+
+    from imagecaptioner_tpu.core.config import (
+        DistillConfig, KDTrainConfig, TeacherTrainConfig)
+    from imagecaptioner_tpu.data.synthetic import make_synthetic_dataset
+    from imagecaptioner_tpu.train.train_teacher import train as train_teacher
+    from imagecaptioner_tpu.train.train_student_kd import train_student_with_kd
+
+    assert recipe in ("grounded", "reference"), recipe
+    os.makedirs(workdir, exist_ok=True)
+    data = os.path.join(workdir, "data")
+    if not os.path.exists(os.path.join(data, "captions_clean.csv")):
+        os.makedirs(data, exist_ok=True)
+        make_synthetic_dataset(data, n_images=images, captions_per_image=1,
+                               image_size=224, seed=0, learnable=True)
+    out = os.path.join(workdir, f"saved_models_{recipe}")
+    teacher_ckpt = os.path.join(out, "best_teacher_model.npz")
+    student_ckpt = os.path.join(out, "best_student_model.npz")
+
+    t0 = time.perf_counter()
+    if not (reuse and os.path.exists(teacher_ckpt)):
+        train_teacher(data, output_dir=out,
+                      train_cfg=TeacherTrainConfig(num_epochs=epochs_teacher,
+                                                   validate_every=2,
+                                                   learning_rate=3e-4),
+                      verbose=True)
+    t_teacher = time.perf_counter() - t0
+
+    kd_kw = dict(num_epochs=epochs_kd, validate_every=1, patience=10 ** 6)
+    d_cfg = DistillConfig()
+    aug = None
+    model_kw = {}
+    if recipe == "grounded":
+        from imagecaptioner_tpu.data.transforms import AugmentConfig
+
+        ce_weight = 0.5
+        d_cfg = DistillConfig(alpha=1.0 - ce_weight - d_cfg.beta - d_cfg.gamma)
+        kd_kw["encoder_lr_scale"] = 1.0
+        aug = AugmentConfig(hflip_prob=0.5)  # reference flips, no color jitter
+        model_kw = dict(freeze_backbone=False, use_attention_refinement=False)
+    t0 = time.perf_counter()
+    if not (reuse and os.path.exists(student_ckpt)):
+        train_student_with_kd(
+            data, teacher_checkpoint=teacher_ckpt, output_dir=out,
+            train_cfg=KDTrainConfig(**kd_kw), distill_cfg=d_cfg, aug=aug,
+            verbose=True, **model_kw)
+    t_kd = time.perf_counter() - t0
+
+    # ---- full-set evaluation: the parity ratio the reference claims --------
+    from imagecaptioner_tpu.data.dataset import CaptionDataset
+    from imagecaptioner_tpu.eval import metrics as MET
+    from imagecaptioner_tpu.eval.evaluate_student import load_student_evaluator
+
+    ev = load_student_evaluator(student_ckpt, teacher_ckpt,
+                                os.path.join(out, "vocab.json"))
+    ds = CaptionDataset(data, os.path.join(data, "captions_clean.csv"),
+                        vocab=ev.vocab, image_size=224)
+    report = ev.compare_models_on_dataset(ds, max_samples=len(ds),
+                                          measure_latency_samples=2,
+                                          verbose=False)
+    s_bleu1 = report["student"]["bleu1"]
+    t_bleu1 = report["teacher"]["bleu1"]
+
+    # grounding evidence: the student must BEAT the best constant caption
+    rows = report["comparisons"]
+    refs = [r["reference"].lower().split() for r in rows]
+    s_caps = [r.get("student", "") for r in rows]
+    const_baseline = max(
+        float(np.mean([MET.bleu_n(list(c), ref, 1) for ref in refs]))
+        for c in ({tuple(ref) for ref in refs}
+                  | {tuple(c.lower().split()) for c in s_caps}))
+    hist = json.load(open(os.path.join(out,
+                                       "student_training_history.json")))
+    return {
+        "name": "end_to_end_kd_run_converged",
+        "recipe": recipe,
+        "images": images,
+        "epochs": {"teacher": epochs_teacher, "kd": epochs_kd},
+        "teacher_train_s": t_teacher, "kd_train_s": t_kd,
+        "student_bleu1": s_bleu1,
+        "teacher_bleu1": t_bleu1,
+        "bleu1_ratio": s_bleu1 / t_bleu1 if t_bleu1 else None,
+        "student_bleu2": report["student"]["bleu2"],
+        "teacher_bleu2": report["teacher"]["bleu2"],
+        "bleu2_ratio": (report["student"]["bleu2"] / report["teacher"]["bleu2"]
+                        if report["teacher"]["bleu2"] else None),
+        "student_meteor": report["student"]["meteor"],
+        "teacher_meteor": report["teacher"]["meteor"],
+        "meteor_ratio": (report["student"]["meteor"]
+                         / report["teacher"]["meteor"]
+                         if report["teacher"]["meteor"] else None),
+        "num_eval_samples": report["num_samples"],
+        "distinct_student_captions": len(set(s_caps)),
+        "best_constant_caption_bleu1": const_baseline,
+        "beats_constant_baseline": bool(s_bleu1 > const_baseline),
+        "val_bleu_curve_tail": [round(x, 3)
+                                for x in hist["val_bleu_scores"][-20:]],
+        "reference_claim": "student at 85-95% of teacher BLEU-1 "
+                           "(/root/reference/README.md:109)",
+    }
+
+
 def config_5(epochs: int):
     import jax.numpy as jnp
 
@@ -326,6 +487,18 @@ def main():
     ap.add_argument("--configs", default="2,3,4")
     ap.add_argument("--epochs", type=int, default=1)
     ap.add_argument("--output", default="benchmarks/results.json")
+    # converged config-5 mode (the recorded parity benchmark)
+    ap.add_argument("--converged", action="store_true",
+                    help="run config 5 as the converged parity benchmark "
+                         "(trains to the BLEU plateau; hours on the relay)")
+    ap.add_argument("--workdir", default="/tmp/ic_converged_bench")
+    ap.add_argument("--epochs-teacher", type=int, default=12)
+    ap.add_argument("--epochs-kd", type=int, default=200)
+    ap.add_argument("--images", type=int, default=256)
+    ap.add_argument("--recipe", default="grounded",
+                    choices=["grounded", "reference"])
+    ap.add_argument("--no-reuse", action="store_true",
+                    help="retrain even if checkpoints exist in --workdir")
     args = ap.parse_args()
 
     from imagecaptioner_tpu.core.runtime import enable_compile_cache
@@ -349,7 +522,13 @@ def main():
             print(json.dumps(results[str(i)]))
     if 5 in wanted:
         print("running config 5...")
-        results["5"] = config_5(args.epochs)
+        if args.converged:
+            results["5"] = config_5_converged(
+                args.workdir, epochs_teacher=args.epochs_teacher,
+                epochs_kd=args.epochs_kd, images=args.images,
+                recipe=args.recipe, reuse=not args.no_reuse)
+        else:
+            results["5"] = config_5(args.epochs)
         print(json.dumps(results["5"]))
     results["_note"] = (
         "Measured through a shared TPU relay; run-to-run variance is 2-6x "

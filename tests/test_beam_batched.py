@@ -27,3 +27,38 @@ def test_batched_beam_matches_per_image():
         np.testing.assert_allclose(np.asarray(bsc[i]), np.asarray(sc),
                                    atol=1e-5)
         np.testing.assert_array_equal(np.asarray(bl[i]), np.asarray(l))
+
+
+def test_packed_beam_matches_per_image():
+    """The MXU-packed beam (beams folded into the batch dim, one decoder
+    GEMM set per step) must be token-identical to the per-image search —
+    same bookkeeping code, same accepted sets (VERDICT r2 weak #2)."""
+    cfg = TeacherConfig(vocab_size=40, embed_size=32, num_heads=4,
+                        num_decoder_layers=2, dropout=0.0, encoder_dim=24,
+                        encoder_depth=2, encoder_heads=3, image_size=32,
+                        patch_size=16)
+    p = TM.teacher_init(jax.random.PRNGKey(0), cfg)
+    images = jax.random.normal(jax.random.PRNGKey(1), (4, 3, 32, 32))
+    memory = TM.encode_image(p, images, cfg)
+    ps, psc, plen = D.beam_search_teacher_packed(p, memory, cfg, max_length=8,
+                                                 beam_size=3)
+    assert ps.shape == (4, 3, 9)
+    for i in range(4):
+        s, sc, l = D.beam_search_teacher(p, memory[i:i + 1], cfg,
+                                         max_length=8, beam_size=3)
+        np.testing.assert_array_equal(np.asarray(ps[i]), np.asarray(s))
+        np.testing.assert_allclose(np.asarray(psc[i]), np.asarray(sc),
+                                   atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(plen[i]), np.asarray(l))
+
+
+def test_packed_beam_production_dims_smoke():
+    """Production teacher dims (512/8/4, 197 tokens), N=4, K=5 — shapes and
+    finite scores."""
+    cfg = TeacherConfig(vocab_size=300)
+    p = TM.teacher_init(jax.random.PRNGKey(0), cfg)
+    memory = jax.random.normal(jax.random.PRNGKey(1), (4, 197, 512)) * 0.1
+    s, sc, l = D.beam_search_teacher_packed(p, memory, cfg, max_length=10,
+                                            beam_size=5)
+    assert s.shape == (4, 5, 11)
+    assert bool(jnp.all(jnp.isfinite(sc[:, 0])))

@@ -217,8 +217,15 @@ def student_apply(
             logits, hiddens, attns = L.full_decoder_apply(
                 p["decoder"], refined, captions, cfg, train=train, rng=r_dec)
     else:
-        logits, hiddens, attns = L.compact_decoder_apply(
-            p["decoder"], refined, captions, cfg, train=train, rng=r_dec)
+        if cfg.decoder_impl == "pallas" and cfg.num_layers == 1:
+            from imagecaptioner_tpu.ops.pallas_lstm import (
+                pallas_compact_decoder_scan_train)
+
+            logits, hiddens, attns = pallas_compact_decoder_scan_train(
+                p["decoder"], refined, captions, cfg, train=train, rng=r_dec)
+        else:
+            logits, hiddens, attns = L.compact_decoder_apply(
+                p["decoder"], refined, captions, cfg, train=train, rng=r_dec)
     return (logits, raw, hiddens, attns), new_s
 
 

@@ -28,25 +28,34 @@ def enable_compile_cache(path: str = None) -> None:
 
 
 def host_cpu_tag() -> str:
-    """Short stable hash of this host's CPU feature flags.
+    """Short stable hash of this host's CPU model + feature flags.
 
     XLA:CPU AOT cache entries bake in the compile host's feature set; loading
     them on a host without e.g. AMX can abort with SIGILL (the
     ``cpu_aot_loader`` warning).  This container migrates between hosts, so
     anything persisting a CPU-backend compile cache must key the directory by
-    this tag."""
+    this tag.  The key includes the MODEL NAME, not just the CPUID flags:
+    XLA's target preferences (``prefer-no-scatter``/``prefer-no-gather``)
+    follow the CPU model, so two hosts with identical flags can still write
+    mutually unloadable AOT entries (observed r3: same-flag hosts tripping
+    the cpu_aot_loader mismatch inside one tag dir)."""
     import hashlib
     import platform
 
+    model, flags = "", ""
     try:
         with open("/proc/cpuinfo") as f:
             for line in f:
-                if line.startswith("flags"):
+                if not model and line.startswith("model name"):
+                    model = line.split(":", 1)[1].strip()
+                elif not flags and line.startswith("flags"):
                     flags = " ".join(sorted(line.split(":", 1)[1].split()))
-                    return hashlib.sha1(flags.encode()).hexdigest()[:10]
+                if model and flags:
+                    break
     except OSError:
         pass
-    return hashlib.sha1(platform.processor().encode()).hexdigest()[:10]
+    key = f"{model}|{flags}" if (model or flags) else platform.processor()
+    return hashlib.sha1(key.encode()).hexdigest()[:10]
 
 
 def cpu_cache_dir(base: str = None) -> str:

@@ -30,6 +30,7 @@ class CaptionDataset:
         freq_threshold: int = 5,
         image_size: int = 224,
         vocab: Optional[Vocabulary] = None,
+        decode_cache_bytes: Optional[int] = None,
     ):
         self.root_dir = root_dir
         self.image_size = image_size
@@ -43,6 +44,21 @@ class CaptionDataset:
             vocab = Vocabulary(freq_threshold)
             vocab.build_vocabulary(self.captions)
         self.vocab = vocab
+        # Decoded-uint8 cache (SURVEY §2.9 N8 / VERDICT r2 #9): training
+        # re-reads the same images every epoch for tens-to-hundreds of
+        # epochs, so epoch 2+ should hit RAM, not libjpeg.  Memory-bounded:
+        # one 224px image is ~147 KB; the default 2 GiB budget covers ~14k
+        # images (all of Flickr8k).  IC_DECODE_CACHE_BYTES overrides; 0
+        # disables.
+        if decode_cache_bytes is None:
+            decode_cache_bytes = int(os.environ.get(
+                "IC_DECODE_CACHE_BYTES", 2 << 30))
+        import threading
+
+        self._cache_budget = decode_cache_bytes
+        self._cache: dict = {}
+        self._cache_bytes = 0
+        self._cache_lock = threading.Lock()  # thread-pool decode
 
     def __len__(self) -> int:
         return len(self.df)
@@ -55,11 +71,11 @@ class CaptionDataset:
         self.df = self.df.iloc[list(indices)].reset_index(drop=True)
         self.imgs = self.df["image"].tolist()
         self.captions = self.df["caption"].tolist()
+        self._cache.clear()
+        self._cache_bytes = 0
         return self
 
-    def load_image(self, index: int) -> np.ndarray:
-        """uint8 (H, W, 3) at ``image_size`` — black placeholder if missing
-        (data_loader.py:73-78)."""
+    def _decode_image(self, index: int) -> np.ndarray:
         img_path = os.path.join(self.root_dir, "Images", str(self.imgs[index]))
         try:
             img = Image.open(img_path).convert("RGB")
@@ -68,6 +84,33 @@ class CaptionDataset:
         if img.size != (self.image_size, self.image_size):
             img = img.resize((self.image_size, self.image_size), Image.BILINEAR)
         return np.asarray(img, dtype=np.uint8)
+
+    def load_image(self, index: int) -> np.ndarray:
+        """uint8 (H, W, 3) at ``image_size`` — black placeholder if missing
+        (data_loader.py:73-78).  Decoded results are cached in RAM up to the
+        byte budget (first epoch pays the decode; later epochs are memcpy)."""
+        cached = self._cache.get(index)
+        if cached is not None:
+            return cached
+        arr = self._decode_image(index)
+        if self._cache_budget and self._cache_bytes + arr.nbytes <= self._cache_budget:
+            with self._cache_lock:
+                if index not in self._cache:
+                    arr.setflags(write=False)  # shared across batches
+                    self._cache[index] = arr
+                    self._cache_bytes += arr.nbytes
+        return arr
+
+    def cached_batch(self, indices) -> Optional[np.ndarray]:
+        """Stacked uint8 (B, S, S, 3) when EVERY index is a cache hit, else
+        None — the loader's fast path (pure memcpy, no decode pool)."""
+        out = []
+        for i in indices:
+            arr = self._cache.get(int(i))
+            if arr is None:
+                return None
+            out.append(arr)
+        return np.stack(out)
 
     def encode_caption(self, index: int) -> List[int]:
         return self.vocab.encode_caption(self.captions[index])

@@ -79,12 +79,17 @@ class BatchLoader:
     def _make_batch(self, idxs: np.ndarray) -> Dict[str, np.ndarray]:
         tokens = self._encode_all()
         b = len(idxs)
-        pool = self._decode_pool()
-        if pool is not None:
-            imgs = np.stack(list(pool.map(self.dataset.load_image,
-                                          (int(i) for i in idxs))))
-        else:
-            imgs = np.stack([self.dataset.load_image(int(i)) for i in idxs])
+        # warm path: epoch 2+ serves decoded uint8 straight from the
+        # dataset's RAM cache — one memcpy, no pool round-trip
+        imgs = self.dataset.cached_batch(idxs)
+        if imgs is None:
+            pool = self._decode_pool()
+            if pool is not None:
+                imgs = np.stack(list(pool.map(self.dataset.load_image,
+                                              (int(i) for i in idxs))))
+            else:
+                imgs = np.stack([self.dataset.load_image(int(i))
+                                 for i in idxs])
         caps = np.full((self.max_caption_len, b), PAD, dtype=np.int32)
         lengths = np.zeros((b,), dtype=np.int32)
         for j, i in enumerate(idxs):

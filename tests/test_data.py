@@ -237,3 +237,51 @@ def test_loader_parallel_decode_equivalence(tmp_path):
         np.testing.assert_array_equal(a["images"], b["images"])
         np.testing.assert_array_equal(a["captions"], b["captions"])
         np.testing.assert_array_equal(a["lengths"], b["lengths"])
+
+
+def test_decode_cache_and_fast_path(tmp_path):
+    """Decoded-uint8 RAM cache (VERDICT r2 #9): epoch 2+ is a memcpy, the
+    byte budget is honored, and select() invalidates."""
+    import numpy as np
+    from PIL import Image
+
+    from imagecaptioner_tpu.data.dataset import CaptionDataset
+
+    img_dir = tmp_path / "Images"
+    img_dir.mkdir()
+    rng = np.random.default_rng(0)
+    for k in range(4):
+        Image.fromarray(rng.integers(0, 255, (32, 32, 3), dtype=np.uint8)
+                        ).save(img_dir / f"i{k}.jpg")
+    csv = tmp_path / "caps.csv"
+    csv.write_text("image,caption\n" + "".join(
+        f"i{k}.jpg,a dog runs fast\n" for k in range(4)))
+
+    ds = CaptionDataset(str(tmp_path), str(csv), image_size=32)
+    a = ds.load_image(0)
+    assert ds.cached_batch([0]) is not None          # hit after first load
+    assert ds.cached_batch([0, 1]) is None           # 1 not yet decoded
+    b = ds.load_image(0)
+    np.testing.assert_array_equal(a, b)
+    assert b is ds._cache[0]                          # served from cache
+    for k in range(4):
+        ds.load_image(k)
+    batch = ds.cached_batch([3, 1])
+    assert batch.shape == (2, 32, 32, 3)
+    np.testing.assert_array_equal(batch[1], ds.load_image(1))
+
+    ds.select([0, 1])
+    assert ds.cached_batch([0]) is None               # select() invalidates
+
+    # zero budget disables caching entirely
+    ds2 = CaptionDataset(str(tmp_path), str(csv), image_size=32,
+                         decode_cache_bytes=0)
+    ds2.load_image(0)
+    assert ds2.cached_batch([0]) is None
+
+    # budget bound: room for ~2 images only
+    ds3 = CaptionDataset(str(tmp_path), str(csv), image_size=32,
+                         decode_cache_bytes=2 * 32 * 32 * 3 + 1)
+    for k in range(4):
+        ds3.load_image(k)
+    assert len(ds3._cache) == 2

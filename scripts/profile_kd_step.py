@@ -23,6 +23,13 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--seq", type=int, default=24)
+    ap.add_argument("--decoder-impl", default="pallas",
+                    choices=["scan", "pallas"],
+                    help="decoder recurrence for the KD step + decoder-only "
+                         "measurements (pallas = fused fwd + reverse-time "
+                         "Pallas bwd on TPU)")
+    ap.add_argument("--out", default=None,
+                    help="write the results JSON here too")
     args = ap.parse_args()
 
     from imagecaptioner_tpu.core.runtime import enable_compile_cache
@@ -44,7 +51,7 @@ def main():
     B, T = args.batch, args.seq
     V = 2994
     t_cfg = TeacherConfig(vocab_size=V)
-    s_cfg = full_student_config(V)
+    s_cfg = full_student_config(V, decoder_impl=args.decoder_impl)
     k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
     teacher_params = TM.teacher_init(k1, t_cfg)
     s_params, s_state = SM.student_init(k2, s_cfg)
@@ -123,11 +130,20 @@ def main():
     # -- decoder-only fwd+bwd (fixed features) --------------------------------
     feats0 = jnp.zeros((B, 49, s_cfg.embed_size), dt)
 
+    def _dec_apply(p, feats, caps):
+        if args.decoder_impl == "pallas":
+            from imagecaptioner_tpu.ops.pallas_lstm import (
+                pallas_full_decoder_scan_train)
+
+            return pallas_full_decoder_scan_train(
+                p["decoder"], feats, caps, s_cfg, train=True,
+                rng=jax.random.PRNGKey(0))
+        return L.full_decoder_apply(p["decoder"], feats, caps, s_cfg,
+                                    train=True, rng=jax.random.PRNGKey(0))
+
     def _dec_loss(p, pair):
         img, caps = pair
-        logits, h, a = L.full_decoder_apply(
-            p["decoder"], feats0 + img[0, 0, 0, 0], caps, s_cfg,
-            train=True, rng=jax.random.PRNGKey(0))
+        logits, h, a = _dec_apply(p, feats0 + img[0, 0, 0, 0], caps)
         return jnp.mean(logits.astype(jnp.float32) ** 2)
 
     dec_grad = jax.jit(jax.grad(_dec_loss))
@@ -183,7 +199,12 @@ def main():
     measure("student_fwd_bwd", student_fwdbwd, mk_pair, 1.23e10, B)
     measure("decoder_only_fwd_bwd", decoder_fwdbwd, mk_pair, None, B)
 
+    results["_config"] = {"batch": B, "seq": T,
+                          "decoder_impl": args.decoder_impl}
     print(json.dumps(results, indent=2))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(results, f, indent=2)
 
 
 if __name__ == "__main__":

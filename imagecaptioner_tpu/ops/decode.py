@@ -366,9 +366,12 @@ def beam_search_teacher_packed(
     S = max_length + 1
     V = cfg.vocab_size
     layers = params["decoder"]
-    # image n's beams live at packed rows n*K .. n*K+K-1
-    mem_nk = jnp.repeat(memory, K, axis=0)                    # (N*K, L, E)
-    mem_kv = TD.precompute_memory_kv(layers, mem_nk)
+    # image n's beams live at packed rows n*K .. n*K+K-1.  Cross-attention
+    # K/V are projected once per IMAGE and repeated per beam — projecting
+    # the repeated memory would redo those matmuls K times.
+    mem_kv = [{"k": jnp.repeat(c["k"], K, axis=0),
+               "v": jnp.repeat(c["v"], K, axis=0)}
+              for c in TD.precompute_memory_kv(layers, memory)]
     self_kv = TD.init_kv_cache(len(layers), N * K, S, cfg.embed_size,
                                memory.dtype)
 

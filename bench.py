@@ -20,7 +20,8 @@ import sys
 import time
 
 VOCAB = 2994
-BATCH = 16
+BATCH = int(os.environ.get("IC_BENCH_BATCH", "16"))
+STREAM_K = int(os.environ.get("IC_BENCH_STREAM", "8"))
 MAX_LEN = 20
 BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                               ".bench_baseline.json")
@@ -104,7 +105,7 @@ def measure_jax(num_batches: int) -> dict:
     # dispatch costs ~15 ms while the batch itself is ~2 ms of compute —
     # serving at full rate requires amortizing dispatch, exactly as a real
     # serving loop would queue work.
-    K = 8
+    K = STREAM_K
     caption_stream = jax.jit(
         lambda stacked: jax.lax.map(caption_one, stacked))
 

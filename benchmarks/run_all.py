@@ -266,7 +266,7 @@ def config_4():
     teacher_params = TM.teacher_init(k1, t_cfg)
     rng = np.random.default_rng(0)
 
-    def run_impl(decoder_impl, n_steps=8):
+    def run_impl(decoder_impl, n_steps=8, variant="full"):
         """On-device step time: batches are PRE-STAGED on device before the
         clock starts — a (1,16,224,224,3) uint8 batch is ~2.4 MB, which
         through this rig's ~9 MB/s relay upload costs ~270 ms/step and would
@@ -274,10 +274,16 @@ def config_4():
         device_prefetch).  Steps are sequentially dependent (state threads
         through), so syncing the final loss is a true sync, and every batch
         is distinct data."""
-        s_cfg = full_student_config(2994, decoder_impl=decoder_impl)
+        if variant == "compact":
+            from imagecaptioner_tpu.core.config import compact_student_config
+
+            s_cfg = compact_student_config(2994, decoder_impl=decoder_impl)
+        else:
+            s_cfg = full_student_config(2994, decoder_impl=decoder_impl)
         s_params, s_state = SM.student_init(k2, s_cfg)
         projectors, _ = create_feature_projectors(
-            k3, teacher_embed=512, student_embed=256, student_hidden=512,
+            k3, teacher_embed=512, student_embed=s_cfg.embed_size,
+            student_hidden=s_cfg.hidden_size,
             student_seq_len=49, teacher_seq_len=197)
         params = {"student": s_params, "projectors": projectors}
         state = steps.TrainState(params, O.adamw_init(params), s_state)
@@ -309,9 +315,12 @@ def config_4():
     out = {"name": "joint_kd_train_step_b16_bf16",
            "physics_max_images_per_sec": timing.physics_max_rate(1.6e10)}
     out["scan"] = run_impl("scan")
-    # fused trainable Pallas LSTM decoder (custom VJP) — TPU only
+    # fused trainable Pallas LSTM decoders (custom VJP) — TPU only
     if jax.default_backend() == "tpu":
         out["pallas"] = run_impl("pallas")
+        # the optimized KD trainer's production student (VERDICT r2 #6)
+        out["compact_pallas"] = run_impl("pallas", variant="compact")
+        out["compact_scan"] = run_impl("scan", variant="compact")
     best = out.get("pallas", out["scan"])
     out.update(best)  # top-level numbers = production path for this backend
     return out

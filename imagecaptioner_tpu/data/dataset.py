@@ -71,8 +71,7 @@ class CaptionDataset:
         self.df = self.df.iloc[list(indices)].reset_index(drop=True)
         self.imgs = self.df["image"].tolist()
         self.captions = self.df["caption"].tolist()
-        self._cache.clear()
-        self._cache_bytes = 0
+        # cache entries are keyed by image NAME, so they stay valid
         return self
 
     def _decode_image(self, index: int) -> np.ndarray:
@@ -88,16 +87,19 @@ class CaptionDataset:
     def load_image(self, index: int) -> np.ndarray:
         """uint8 (H, W, 3) at ``image_size`` — black placeholder if missing
         (data_loader.py:73-78).  Decoded results are cached in RAM up to the
-        byte budget (first epoch pays the decode; later epochs are memcpy)."""
-        cached = self._cache.get(index)
+        byte budget (first epoch pays the decode; later epochs are memcpy).
+        Cache keyed by image NAME: Flickr-style CSVs repeat each image for
+        every caption row, and one decode must serve all of them."""
+        name = str(self.imgs[index])
+        cached = self._cache.get(name)
         if cached is not None:
             return cached
         arr = self._decode_image(index)
         if self._cache_budget and self._cache_bytes + arr.nbytes <= self._cache_budget:
             with self._cache_lock:
-                if index not in self._cache:
+                if name not in self._cache:
                     arr.setflags(write=False)  # shared across batches
-                    self._cache[index] = arr
+                    self._cache[name] = arr
                     self._cache_bytes += arr.nbytes
         return arr
 
@@ -106,7 +108,7 @@ class CaptionDataset:
         None — the loader's fast path (pure memcpy, no decode pool)."""
         out = []
         for i in indices:
-            arr = self._cache.get(int(i))
+            arr = self._cache.get(str(self.imgs[int(i)]))
             if arr is None:
                 return None
             out.append(arr)

@@ -263,15 +263,17 @@ def test_decode_cache_and_fast_path(tmp_path):
     assert ds.cached_batch([0, 1]) is None           # 1 not yet decoded
     b = ds.load_image(0)
     np.testing.assert_array_equal(a, b)
-    assert b is ds._cache[0]                          # served from cache
+    assert b is ds._cache["i0.jpg"]                   # served from cache
     for k in range(4):
         ds.load_image(k)
     batch = ds.cached_batch([3, 1])
     assert batch.shape == (2, 32, 32, 3)
     np.testing.assert_array_equal(batch[1], ds.load_image(1))
 
-    ds.select([0, 1])
-    assert ds.cached_batch([0]) is None               # select() invalidates
+    # name-keyed: entries survive select() and serve the re-indexed rows
+    ds.select([2, 3])
+    np.testing.assert_array_equal(ds.cached_batch([0])[0],
+                                  ds._cache["i2.jpg"])
 
     # zero budget disables caching entirely
     ds2 = CaptionDataset(str(tmp_path), str(csv), image_size=32,
@@ -285,3 +287,26 @@ def test_decode_cache_and_fast_path(tmp_path):
     for k in range(4):
         ds3.load_image(k)
     assert len(ds3._cache) == 2
+
+
+def test_decode_cache_shared_across_caption_rows(tmp_path):
+    """Flickr-style CSVs repeat each image for every caption row — one
+    decode must serve all rows (cache keyed by image name, not row index)."""
+    import numpy as np
+    from PIL import Image
+
+    from imagecaptioner_tpu.data.dataset import CaptionDataset
+
+    img_dir = tmp_path / "Images"
+    img_dir.mkdir()
+    Image.fromarray(np.full((32, 32, 3), 7, np.uint8)).save(img_dir / "a.jpg")
+    csv = tmp_path / "caps.csv"
+    csv.write_text("image,caption\n" + "a.jpg,a dog runs fast\n" * 5)
+
+    ds = CaptionDataset(str(tmp_path), str(csv), image_size=32)
+    assert len(ds) == 5
+    for i in range(5):
+        ds.load_image(i)
+    assert len(ds._cache) == 1                         # one entry, 5 rows
+    assert ds._cache_bytes == 32 * 32 * 3
+    assert ds.cached_batch([0, 4]).shape == (2, 32, 32, 3)

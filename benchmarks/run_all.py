@@ -312,6 +312,68 @@ def config_4():
         return {"p50_latency_s": per, "steps_per_sec": 1.0 / per,
                 "images_per_sec": 16.0 / per}
 
+    def run_impl_streamed(decoder_impl, variant="full", k_steps=8,
+                          n_calls=4):
+        """Device-rate measurement: K sequentially-dependent train steps are
+        chained inside ONE dispatch (lax.scan over stacked batches), because
+        per-dispatch wall time through this rig's relay is a load-dependent
+        20-130 ms floor that buries a ~10 ms step when each step is its own
+        dispatch (the per-call numbers above are relay-bound, not
+        device-bound).  On a local TPU host dispatch is ~100 us and the
+        per-step rate approaches this streamed number."""
+        import functools
+
+        if variant == "compact":
+            from imagecaptioner_tpu.core.config import compact_student_config
+
+            s_cfg = compact_student_config(2994, decoder_impl=decoder_impl)
+        else:
+            s_cfg = full_student_config(2994, decoder_impl=decoder_impl)
+        s_params, s_state = SM.student_init(k2, s_cfg)
+        projectors, _ = create_feature_projectors(
+            k3, teacher_embed=512, student_embed=s_cfg.embed_size,
+            student_hidden=s_cfg.hidden_size,
+            student_seq_len=49, teacher_seq_len=197)
+        params = {"student": s_params, "projectors": projectors}
+        state = steps.TrainState(params, O.adamw_init(params), s_state)
+        step = steps.make_kd_train_step(t_cfg, s_cfg, DistillConfig(), tr,
+                                        compute_dtype=jnp.bfloat16)
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def chain(st, tp, stacked, rngs, scheds):
+            def body(carry, xs):
+                b, r, s = xs
+                carry, m = step(carry, tp, b, s, jnp.int32(0), r)
+                return carry, m["total_loss"]
+            st, losses = jax.lax.scan(body, st, (stacked, rngs, scheds))
+            return st, losses[-1]
+
+        def stacked_batch(seed):
+            r = np.random.default_rng(seed)
+            return jax.device_put({
+                "images": r.integers(0, 255, (k_steps, 1, 16, 224, 224, 3),
+                                     dtype=np.uint8),
+                "captions": r.integers(
+                    1, 2994, (k_steps, 1, 24, 16)).astype(np.int32),
+                "lengths": np.full((k_steps, 1, 16), 24, np.int32),
+            })
+
+        calls = [(stacked_batch(100 + i),
+                  jax.random.split(jax.random.PRNGKey(200 + i), k_steps),
+                  jnp.linspace(1e-4, 2e-4, k_steps))
+                 for i in range(n_calls + 1)]
+        jax.block_until_ready(calls)
+        state, loss = chain(state, teacher_params, *calls[0])
+        _ = jax.device_get(loss)  # compile+warmup
+        t0 = time.perf_counter()
+        for c in calls[1:]:
+            state, loss = chain(state, teacher_params, *c)
+        _ = jax.device_get(loss)
+        per = (time.perf_counter() - t0) / (n_calls * k_steps)
+        return {"p50_latency_s": per, "steps_per_sec": 1.0 / per,
+                "images_per_sec": 16.0 / per,
+                "k_steps_per_dispatch": k_steps}
+
     out = {"name": "joint_kd_train_step_b16_bf16",
            "physics_max_images_per_sec": timing.physics_max_rate(1.6e10)}
     out["scan"] = run_impl("scan")
@@ -321,8 +383,15 @@ def config_4():
         # the optimized KD trainer's production student (VERDICT r2 #6)
         out["compact_pallas"] = run_impl("pallas", variant="compact")
         out["compact_scan"] = run_impl("scan", variant="compact")
-    best = out.get("pallas", out["scan"])
-    out.update(best)  # top-level numbers = production path for this backend
+        # dispatch-amortized device rates (see run_impl_streamed docstring)
+        out["pallas_streamed"] = run_impl_streamed("pallas")
+        out["compact_pallas_streamed"] = run_impl_streamed(
+            "pallas", variant="compact")
+        out["compact_scan_streamed"] = run_impl_streamed(
+            "scan", variant="compact")
+    best = out.get("pallas_streamed", out.get("pallas", out["scan"]))
+    out.update({k: best[k] for k in
+                ("p50_latency_s", "steps_per_sec", "images_per_sec")})
     return out
 
 
@@ -532,13 +601,18 @@ def main():
     if 5 in wanted:
         print("running config 5...")
         if args.converged:
-            results["5"] = config_5_converged(
+            # the grounded recipe is the headline parity record ("5"); the
+            # reference-recipe best-effort records under its own key so it
+            # never clobbers the headline
+            key = "5" if args.recipe == "grounded" else "5_reference_recipe"
+            results[key] = config_5_converged(
                 args.workdir, epochs_teacher=args.epochs_teacher,
                 epochs_kd=args.epochs_kd, images=args.images,
                 recipe=args.recipe, reuse=not args.no_reuse)
         else:
-            results["5"] = config_5(args.epochs)
-        print(json.dumps(results["5"]))
+            key = "5"
+            results[key] = config_5(args.epochs)
+        print(json.dumps(results[key]))
     results["_note"] = (
         "Measured through a shared TPU relay; run-to-run variance is 2-6x "
         "with relay load. Methodology: distinct inputs per call, device_get "

@@ -210,8 +210,13 @@ def config_3():
     # MXU-shaped GEMM set instead of K-wide vmapped slivers, and the stream
     # amortizes the relay's per-dispatch floor over Ks batched searches ---
     sweep = {}
+    # With the KV-reorder gather replaced by a permutation matmul the packed
+    # step is ~0.25 ms at N=8 (benchmarks/beam_ablation.json), so a dispatch
+    # must carry ~128 images to amortize the relay's 20-130 ms floor.  Step
+    # cost grows superlinearly with N (stacked-cache updates), so small-N ×
+    # deep-stream wins over large-N.
     for N in (8, 16, 32):
-        Ks = max(1, 32 // N)  # ~32 images per dispatch across the sweep
+        Ks = max(1, 128 // N)  # ~128 images per dispatch across the sweep
 
         @jax.jit
         def beam_packed_stream(stacked, _N=N):  # (Ks, N, 3, 224, 224)

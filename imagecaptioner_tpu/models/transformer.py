@@ -122,6 +122,19 @@ def _proj_qkv(p_mha, x):
     return d(w_q, b_q), d(w_k, b_k), d(w_v, b_v)
 
 
+def _proj_q(p_mha, x):
+    """Q-only projection for cross-attention decode steps: K/V of the query
+    token are never used there, so projecting all three (``_proj_qkv``)
+    wastes 2/3 of the GEMM.  Identical numerics to ``_proj_qkv(...)[0]``."""
+    e = p_mha["in_proj_weight"].shape[1]
+    w_q = p_mha["in_proj_weight"][:e]
+    b_q = p_mha["in_proj_bias"][:e]
+    return (jax.lax.dot_general(x, w_q.astype(x.dtype),
+                                (((2,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+            + b_q).astype(x.dtype)
+
+
 def precompute_memory_kv(layers: List[Params], memory: jnp.ndarray) -> List[Params]:
     """Cross-attention K/V depend only on encoder memory — computed once per
     decode instead of once per step."""
@@ -160,7 +173,7 @@ def decoder_step_cached(
         sa = M.dense(p["self_attn"]["out_proj"], sa)
         y = M.layer_norm(p["norm1"], y + sa)
 
-        qc, _, _ = _proj_qkv(p["multihead_attn"], y)
+        qc = _proj_q(p["multihead_attn"], y)
         ca = _attend(qc, mem_kv[li]["k"], mem_kv[li]["v"], num_heads)
         ca = M.dense(p["multihead_attn"]["out_proj"], ca)
         y = M.layer_norm(p["norm2"], y + ca)

@@ -277,9 +277,10 @@ def beam_search_teacher(
 
         new, origin_src = _beam_bookkeeping(
             state, top_scores, origin, token, t, lp)
-        # gather the *updated* kv (with this step's writes) per surviving beam
-        new["self_kv"] = {"k": self_kv["k"][:, origin_src],
-                          "v": self_kv["v"][:, origin_src]}
+        # reorder the *updated* kv (with this step's writes) per surviving
+        # beam — permutation matmul, not gather (see _permute_kv_rows)
+        new["self_kv"] = {"k": _permute_kv_rows(self_kv["k"], origin_src),
+                          "v": _permute_kv_rows(self_kv["v"], origin_src)}
         return new, None
 
     state, _ = jax.lax.scan(step, state, jnp.arange(max_length))
@@ -411,10 +412,12 @@ def beam_search_teacher_packed(
                       ("seqs", "scores", "n_live", "fin_seqs", "fin_scores",
                        "fin_lens", "fin_count")}
         new, origin_src = book(book_state, top_scores, origin, token, t)
-        # one global gather reorders every image's surviving beams' caches
+        # one global permutation matmul reorders every image's surviving
+        # beams' caches (gather here was 70% of the whole beam step —
+        # benchmarks/beam_ablation.json)
         gidx = (jnp.arange(N)[:, None] * K + origin_src).reshape(N * K)
-        new["self_kv"] = {"k": self_kv["k"][:, gidx],
-                          "v": self_kv["v"][:, gidx]}
+        new["self_kv"] = {"k": _permute_kv_rows(self_kv["k"], gidx),
+                          "v": _permute_kv_rows(self_kv["v"], gidx)}
         return new, None
 
     state, _ = jax.lax.scan(step, state, jnp.arange(max_length))
@@ -452,6 +455,17 @@ def beam_search_teacher_batched(
         params, m[None], cfg, max_length=max_length, beam_size=beam_size,
         length_penalty=length_penalty)
     return jax.vmap(fn)(memory)
+
+
+def _permute_kv_rows(kv, idx):
+    """Reorder the beam axis (axis 1) of a (L, B, S, E) KV cache by ``idx``
+    ((B,) int32, new row i <- old row idx[i]) via a one-hot permutation
+    matmul.  An XLA gather on a non-leading axis executes row-at-a-time on
+    TPU — measured 3.2 ms/step at B=160 vs ~0 for this contraction, which
+    runs on the MXU (benchmarks/beam_ablation.json).  Exact for a
+    permutation: each output row sums one input row scaled by 1.0."""
+    perm = jax.nn.one_hot(idx, kv.shape[1], dtype=kv.dtype)
+    return jnp.einsum("ij,ljse->lise", perm, kv)
 
 
 def _scatter_rows(buf, slot, rows, mask):

@@ -318,7 +318,7 @@ def config_4():
                 "images_per_sec": 16.0 / per}
 
     def run_impl_streamed(decoder_impl, variant="full", k_steps=8,
-                          n_calls=4):
+                          n_calls=4, tr_step=None):
         """Device-rate measurement: K sequentially-dependent train steps are
         chained inside ONE dispatch (lax.scan over stacked batches), because
         per-dispatch wall time through this rig's relay is a load-dependent
@@ -341,7 +341,8 @@ def config_4():
             student_seq_len=49, teacher_seq_len=197)
         params = {"student": s_params, "projectors": projectors}
         state = steps.TrainState(params, O.adamw_init(params), s_state)
-        step = steps.make_kd_train_step(t_cfg, s_cfg, DistillConfig(), tr,
+        step = steps.make_kd_train_step(t_cfg, s_cfg, DistillConfig(),
+                                        tr_step or tr,
                                         compute_dtype=jnp.bfloat16)
 
         @functools.partial(jax.jit, donate_argnums=(0,))
@@ -394,6 +395,15 @@ def config_4():
             "pallas", variant="compact")
         out["compact_scan_streamed"] = run_impl_streamed(
             "scan", variant="compact")
+        # flagged deviation: frozen teacher's forward in bf16 (KD targets
+        # still fp32) — the teacher was the single largest step component
+        # (4.5 of 10.5 ms, benchmarks/kd_step_profile.json)
+        tr_bf16 = KDTrainConfig(batch_size=16, accumulation_steps=1,
+                                teacher_bf16=True)
+        out["pallas_streamed_teacher_bf16"] = run_impl_streamed(
+            "pallas", tr_step=tr_bf16)
+        out["compact_pallas_streamed_teacher_bf16"] = run_impl_streamed(
+            "pallas", variant="compact", tr_step=tr_bf16)
     best = out.get("pallas_streamed", out.get("pallas", out["scan"]))
     out.update({k: best[k] for k in
                 ("p50_latency_s", "steps_per_sec", "images_per_sec")})

@@ -196,6 +196,10 @@ class KDTrainConfig:
     sched_t_mult: int = 2
     sched_eta_min: float = 1e-6
     dropout: float = 0.3             # student built with dropout 0.3 here
+    # Flagged TPU deviation: run the FROZEN teacher's forward in bf16 (KD
+    # targets still fp32).  The reference keeps its teacher fp32 under AMP
+    # (distillation_utils.py:274-286) — that stays the default.
+    teacher_bf16: bool = False
 
 
 @dataclass(frozen=True)

@@ -25,11 +25,22 @@ from imagecaptioner_tpu.models import teacher as TM
 
 def teacher_forward_for_kd(
     params: Dict, images: jnp.ndarray, captions: jnp.ndarray,
-    cfg: TeacherConfig,
+    cfg: TeacherConfig, *, compute_dtype=jnp.float32,
 ) -> Dict:
     """Returns {'logits' (T,B,V) fp32, 'encoder_features' (B,197,E) fp32,
-    'hidden_states': None} — no gradients flow to the teacher."""
-    memory = TM.encode_image(params, images.astype(jnp.float32), cfg,
+    'hidden_states': None} — no gradients flow to the teacher.
+
+    ``compute_dtype``: dtype the frozen teacher RUNS in.  float32 (default)
+    reproduces the reference's AMP discipline — the teacher stays full
+    precision while the student autocasts (distillation_utils.py:274-286).
+    bfloat16 is a flagged TPU deviation (KDTrainConfig.teacher_bf16): the
+    teacher is inference-only, so running it at MXU-native bf16 (outputs
+    still cast to fp32 for the losses) halves its share of the KD step."""
+    if compute_dtype != jnp.float32:
+        from imagecaptioner_tpu.core import precision as P
+
+        params = P.bf16_compute(params)
+    memory = TM.encode_image(params, images.astype(compute_dtype), cfg,
                              train=False)
     logits = TM.teacher_apply(params, None, captions, cfg, train=False,
                               memory=memory)

@@ -199,9 +199,9 @@ def kd_group_scales(params, *, others_scale: float = 1.0) -> Any:
 
 def _kd_forward(teacher_params, t_cfg, student_params, student_state, s_cfg,
                 projectors, images, captions_in, *, train, rng,
-                proj_rng=None):
+                proj_rng=None, teacher_dtype=jnp.float32):
     teacher_out = teacher_forward_for_kd(teacher_params, images, captions_in,
-                                         t_cfg)
+                                         t_cfg, compute_dtype=teacher_dtype)
     (s_logits, s_feats, s_hiddens, _), new_state = SM.student_apply(
         student_params, student_state, images, captions_in, s_cfg,
         train=train, rng=rng)
@@ -254,10 +254,19 @@ def make_kd_train_step(
     OneCycleLR (train_student_kd_optimized.py).  ``opt``: fused FlatAdamW
     (production); None falls back to the per-leaf reference path."""
 
+    teacher_dtype = (jnp.bfloat16 if getattr(tr_cfg, "teacher_bf16", False)
+                     else jnp.float32)
+
     @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state: TrainState, teacher_params, batch: Dict,
              sched_t: jnp.ndarray, epoch: jnp.ndarray, rng: jax.Array
              ) -> Tuple[TrainState, Dict]:
+        if teacher_dtype != jnp.float32:
+            # cast once per step, OUTSIDE the accumulation scan (the cast is
+            # loop-invariant; inside the body it would re-run per micro-batch)
+            from imagecaptioner_tpu.core import precision as _P
+
+            teacher_params = _P.bf16_compute(teacher_params)
         params = state.params  # {'student': ..., 'projectors': ...}
         trainable = {
             "student": SM.student_trainable_mask(params["student"], s_cfg),
@@ -287,7 +296,7 @@ def make_kd_train_step(
             student_out, teacher_out, new_state = _kd_forward(
                 teacher_params, t_cfg, p["student"], model_state, s_cfg,
                 p["projectors"], images, cap_in, train=True, rng=k_model,
-                proj_rng=k_proj)
+                proj_rng=k_proj, teacher_dtype=teacher_dtype)
             if optimized:
                 loss, ld = DL.optimized_distillation_loss(
                     student_out, teacher_out, cap_tgt, od_cfg, epoch,

@@ -254,9 +254,12 @@ def multi_head_attention(
         ) * scale
         if attn_mask is None and causal:
             # same contract as the fused kernel: causal=True masks even when
-            # no explicit mask tensor was passed (Lq==Lk callers)
+            # no explicit mask tensor was passed.  Bottom-right aligned so a
+            # cached/incremental query (Lq < Lk) attends to its full prefix —
+            # a top-left triu would leave a single query only key 0.  (The
+            # fused path refuses Lq != Lk causal entirely, see use_fused.)
             lq, lk = q.shape[2], k.shape[2]
-            attn_mask = jnp.triu(jnp.ones((lq, lk), bool), k=1)
+            attn_mask = jnp.triu(jnp.ones((lq, lk), bool), k=lk - lq + 1)
         if attn_mask is not None:
             logits = jnp.where(attn_mask[None, None, :, :], -jnp.inf, logits)
         weights = jax.nn.softmax(logits, axis=-1)

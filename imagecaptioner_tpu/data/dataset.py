@@ -95,9 +95,13 @@ class CaptionDataset:
         if cached is not None:
             return cached
         arr = self._decode_image(index)
-        if self._cache_budget and self._cache_bytes + arr.nbytes <= self._cache_budget:
+        if self._cache_budget:
+            # budget check under the lock: decode-pool threads racing past
+            # an unlocked check could each insert and overshoot the budget
             with self._cache_lock:
-                if name not in self._cache:
+                if (name not in self._cache
+                        and self._cache_bytes + arr.nbytes
+                        <= self._cache_budget):
                     arr.setflags(write=False)  # shared across batches
                     self._cache[name] = arr
                     self._cache_bytes += arr.nbytes

@@ -412,12 +412,13 @@ def beam_search_teacher_packed(
                       ("seqs", "scores", "n_live", "fin_seqs", "fin_scores",
                        "fin_lens", "fin_count")}
         new, origin_src = book(book_state, top_scores, origin, token, t)
-        # one global permutation matmul reorders every image's surviving
+        # block-diagonal permutation matmuls reorder every image's surviving
         # beams' caches (gather here was 70% of the whole beam step —
-        # benchmarks/beam_ablation.json)
-        gidx = (jnp.arange(N)[:, None] * K + origin_src).reshape(N * K)
-        new["self_kv"] = {"k": _permute_kv_rows(self_kv["k"], gidx),
-                          "v": _permute_kv_rows(self_kv["v"], gidx)}
+        # benchmarks/beam_ablation.json); a beam never crosses images, so
+        # the contraction is K-wide per image, not (N*K)-wide globally
+        new["self_kv"] = {
+            "k": _permute_kv_rows_blocked(self_kv["k"], origin_src),
+            "v": _permute_kv_rows_blocked(self_kv["v"], origin_src)}
         return new, None
 
     state, _ = jax.lax.scan(step, state, jnp.arange(max_length))
@@ -463,9 +464,30 @@ def _permute_kv_rows(kv, idx):
     matmul.  An XLA gather on a non-leading axis executes row-at-a-time on
     TPU — measured 3.2 ms/step at B=160 vs ~0 for this contraction, which
     runs on the MXU (benchmarks/beam_ablation.json).  Exact for a
-    permutation: each output row sums one input row scaled by 1.0."""
+    permutation: each output row sums one input row scaled by 1.0 — but ONLY
+    at HIGHEST precision: the TPU MXU's default precision truncates the f32
+    KV values to bf16, which would silently shift attention scores vs the
+    gather this replaced (near-tie beam candidates could flip)."""
     perm = jax.nn.one_hot(idx, kv.shape[1], dtype=kv.dtype)
-    return jnp.einsum("ij,ljse->lise", perm, kv)
+    return jnp.einsum("ij,ljse->lise", perm, kv,
+                      precision=jax.lax.Precision.HIGHEST)
+
+
+def _permute_kv_rows_blocked(kv, idx):
+    """Per-image beam reorder for the packed cache: ``kv`` (L, N*K, S, E),
+    ``idx`` (N, K) with values in [0, K) indexing inside each image's K-row
+    block (image n's beams live at packed rows n*K..n*K+K-1, and a beam can
+    only descend from a beam of the SAME image).  Equivalent to flattening
+    ``idx`` into a dense (N*K)x(N*K) permutation matmul, but contracts only
+    K-wide blocks — N-fold less MXU work, and the per-step cost stays linear
+    in N instead of quadratic.  Same HIGHEST-precision requirement as
+    :func:`_permute_kv_rows`."""
+    L, R, S, E = kv.shape
+    N, K = idx.shape
+    perm = jax.nn.one_hot(idx, K, dtype=kv.dtype)          # (N, K, K)
+    out = jnp.einsum("nij,lnjse->lnise", perm, kv.reshape(L, N, K, S, E),
+                     precision=jax.lax.Precision.HIGHEST)
+    return out.reshape(L, R, S, E)
 
 
 def _scatter_rows(buf, slot, rows, mask):

@@ -120,8 +120,7 @@ def _make_kernel(causal: bool, scale: float):
     return kernel
 
 
-def _kernel_call(q, k, v, causal: bool, scale: float, interpret: bool,
-                 vma=None):
+def _kernel_call(q, k, v, causal: bool, scale: float, interpret: bool):
     B, H, Lq, D = q.shape
     Lk = k.shape[2]
     # Mixed input dtypes (e.g. f32 caption queries against a bf16 memory in
@@ -142,9 +141,7 @@ def _kernel_call(q, k, v, causal: bool, scale: float, interpret: bool,
     out = pl.pallas_call(
         _make_kernel(causal, scale),
         grid=(B * H,),
-        # vma: set when called per-shard inside shard_map (check_vma mode
-        # needs the output's varying mesh axes declared)
-        out_shape=jax.ShapeDtypeStruct((B * H, Lq, D), v.dtype, vma=vma),
+        out_shape=jax.ShapeDtypeStruct((B * H, Lq, D), v.dtype),
         in_specs=[
             pl.BlockSpec((1, Lq, D), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),

@@ -48,6 +48,48 @@ from imagecaptioner_tpu.core.config import StudentConfig
 _VMEM_CAP_BYTES = 100 * 1024 * 1024
 
 
+def _dp_shards(B: int):
+    """(n_shards, mesh, axis) for the active DP kernel policy.
+
+    A ``pallas_call`` is opaque to GSPMD, so under a multi-chip DP mesh the
+    global-batch kernel would be computed replicated on every device after
+    an all-gather — erasing the DP speedup (the same failure mode the fused
+    attention fixed via shard_map, VERDICT r2 #3).  Trainers enter the
+    policy through ``common.step_context``; when it's active and the batch
+    divides, the trainable decoder cores run PER-BATCH-SHARD under a
+    full-manual shard_map, each device's kernel seeing B/n rows."""
+    from imagecaptioner_tpu.ops.pallas_attention import dp_attention_policy
+
+    pol = dp_attention_policy()
+    if pol is None:
+        return 1, None, None
+    mesh, axis = pol
+    n = mesh.shape[axis]
+    if n <= 1 or B % n != 0:
+        return 1, None, None
+    return n, mesh, axis
+
+
+def _shard_core_over_batch(core, batch_axes, mesh, axis):
+    """Wrap a fused decoder core in shard_map over the data axis.
+
+    ``batch_axes``: per-positional-arg index of the batch dimension (None =
+    replicated weight).  Both cores return (T, B, ...) trajectories (batch
+    axis 1).  Differentiating through shard_map is exact here: the custom
+    VJP applies per-shard, and replicated weights' cotangents are psummed
+    over the data axis by shard_map's transpose (grad-parity-tested on the
+    virtual mesh, tests/test_pallas_lstm.py)."""
+    from jax.sharding import PartitionSpec as P
+
+    def spec(bd):
+        return P() if bd is None else P(*([None] * bd + [axis]))
+
+    return jax.shard_map(core, mesh=mesh,
+                         in_specs=tuple(spec(b) for b in batch_axes),
+                         out_specs=(P(None, axis), P(None, axis)),
+                         check_vma=False)
+
+
 def _nbytes(shape, dtype) -> int:
     return math.prod(shape) * jnp.dtype(dtype).itemsize
 
@@ -505,7 +547,11 @@ def pallas_full_decoder_scan_train(
     dtype = image_features.dtype
     T, B = captions.shape
     H = cfg.hidden_size
-    if not fused_train_fits_vmem(cfg, T, B, image_features.shape[1],
+    n_shards, dp_mesh, dp_axis = _dp_shards(B)
+    # VMEM gate at the PER-SHARD batch: under the DP policy each device runs
+    # its own kernel over B/n rows
+    if not fused_train_fits_vmem(cfg, T, B // n_shards,
+                                 image_features.shape[1],
                                  jnp.dtype(dtype).itemsize):
         # whole-sequence residency would exceed VMEM — use the (numerically
         # identical, test-enforced) lax.scan path for this shape
@@ -538,6 +584,10 @@ def pallas_full_decoder_scan_train(
                         preferred_element_type=jnp.float32)
              + sp["b_comb"]).astype(dtype)
     core = _get_fused_core(interpret)
+    if n_shards > 1:
+        # emb_w (T,B,F), f_proj (B,L,F), feats (B,L,E), mask (T,B,H), 8 weights
+        core = _shard_core_over_batch(core, (1, 0, 0, 1) + (None,) * 8,
+                                      dp_mesh, dp_axis)
     h_tops, attns = core(
         emb_w, f_proj, image_features, mask,
         sp["w_h"].astype(dtype), sp["w_c"].astype(dtype),
@@ -774,7 +824,9 @@ def pallas_compact_decoder_scan_train(
     del train, rng  # no dropout anywhere in the compact decoder
     dtype = image_features.dtype
     T, B = captions.shape
-    if not compact_train_fits_vmem(cfg, T, B, image_features.shape[1],
+    n_shards, dp_mesh, dp_axis = _dp_shards(B)
+    if not compact_train_fits_vmem(cfg, T, B // n_shards,
+                                   image_features.shape[1],
                                    jnp.dtype(dtype).itemsize):
         from imagecaptioner_tpu.models.lstm import compact_decoder_apply
 
@@ -782,6 +834,10 @@ def pallas_compact_decoder_scan_train(
     emb = M.embedding(p["embedding"], captions).astype(dtype)
     l0 = p["lstm"][0]
     core = _get_fused_compact_core(interpret)
+    if n_shards > 1:
+        # emb (T,B,E), feats (B,L,E), 5 weights
+        core = _shard_core_over_batch(core, (1, 0, None, None, None, None,
+                                             None), dp_mesh, dp_axis)
     h_tops, attns = core(
         emb, image_features,
         p["attention"]["weight"].T.astype(dtype),

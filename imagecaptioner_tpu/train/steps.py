@@ -262,8 +262,11 @@ def make_kd_train_step(
              sched_t: jnp.ndarray, epoch: jnp.ndarray, rng: jax.Array
              ) -> Tuple[TrainState, Dict]:
         if teacher_dtype != jnp.float32:
-            # cast once per step, OUTSIDE the accumulation scan (the cast is
-            # loop-invariant; inside the body it would re-run per micro-batch)
+            # cast once per step, OUTSIDE the accumulation scan: the wrapper
+            # casts again per micro-batch (its API contract takes f32
+            # params), but on already-bf16 leaves that inner cast traces to
+            # a no-op convert XLA elides — hoisting here keeps the real
+            # f32->bf16 copies out of the scan body
             from imagecaptioner_tpu.core import precision as _P
 
             teacher_params = _P.bf16_compute(teacher_params)

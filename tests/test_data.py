@@ -241,7 +241,7 @@ def test_loader_parallel_decode_equivalence(tmp_path):
 
 def test_decode_cache_and_fast_path(tmp_path):
     """Decoded-uint8 RAM cache (VERDICT r2 #9): epoch 2+ is a memcpy, the
-    byte budget is honored, and select() invalidates."""
+    byte budget is honored, and name-keyed entries survive select()."""
     import numpy as np
     from PIL import Image
 

@@ -328,3 +328,57 @@ def test_kd_step_runs_fused_compact_decoder():
         assert np.isfinite(gnorm) and gnorm > 0
     finally:
         PL.pallas_compact_decoder_scan_train = orig
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4,
+                    reason="needs a multi-device mesh (virtual CPU mesh)")
+@pytest.mark.parametrize("variant", ["full", "compact"])
+def test_pallas_train_dp_sharded_matches_unsharded(variant):
+    """Under the DP kernel policy (entered by trainers via
+    common.step_context) the trainable decoder cores run per-batch-shard
+    through shard_map — a pallas_call is opaque to GSPMD, so without this a
+    multi-chip DP mesh would all-gather the batch and compute the kernel
+    replicated (r3 review finding; same failure mode fused attention fixed).
+    Values AND grads must match the unsharded kernel exactly: the custom VJP
+    applies per-shard and the replicated weights' cotangents psum over the
+    data axis."""
+    from imagecaptioner_tpu.core.config import compact_student_config
+    from imagecaptioner_tpu.core.mesh import create_mesh
+    from imagecaptioner_tpu.ops import pallas_lstm as PL
+    from imagecaptioner_tpu.ops.pallas_attention import data_parallel_attention
+
+    T, B, Lf = 6, 8, 9
+    if variant == "full":
+        cfg = full_student_config(vocab_size=50, embed_size=16,
+                                  hidden_size=24, dropout=0.0)
+        p = L.full_decoder_init(jax.random.PRNGKey(0), cfg)
+        fn = PL.pallas_full_decoder_scan_train
+    else:
+        cfg = compact_student_config(vocab_size=50, embed_size=16,
+                                     hidden_size=24)
+        p = L.compact_decoder_init(jax.random.PRNGKey(0), cfg)
+        fn = PL.pallas_compact_decoder_scan_train
+    feats = jax.random.normal(jax.random.PRNGKey(1), (B, Lf, cfg.embed_size))
+    captions = jax.random.randint(jax.random.PRNGKey(2), (T, B), 0, 50)
+    r1 = jax.random.normal(jax.random.PRNGKey(3), (T, B, cfg.vocab_size))
+
+    def loss(p, feats):
+        logits, h, attn = fn(p, feats, captions, cfg, interpret=INTERPRET)
+        return jnp.sum(logits * r1)
+
+    ref_val, ref_grads = jax.value_and_grad(loss, argnums=(0, 1))(p, feats)
+
+    mesh = create_mesh(shape=(4, len(jax.devices()) // 4))
+    with data_parallel_attention(mesh):
+        n, m, ax = PL._dp_shards(B)
+        assert n == 4 and ax == "data"  # the policy actually routes
+        val, grads = jax.value_and_grad(loss, argnums=(0, 1))(p, feats)
+
+    np.testing.assert_allclose(np.asarray(val), np.asarray(ref_val),
+                               rtol=1e-5 if INTERPRET else 1e-3)
+    flat_ref = jax.tree.leaves_with_path(ref_grads)
+    flat_new = jax.tree.leaves(grads)
+    assert len(flat_ref) == len(flat_new)
+    for (path, a), b in zip(flat_ref, flat_new):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), **GRAD_TOL,
+                                   err_msg=str(path))

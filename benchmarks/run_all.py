@@ -212,10 +212,10 @@ def config_3():
     sweep = {}
     # With the KV-reorder gather replaced by a permutation matmul the packed
     # step is ~0.25 ms at N=8 (benchmarks/beam_ablation.json), so a dispatch
-    # must carry ~128 images to amortize the relay's 20-130 ms floor.  Step
-    # cost grows superlinearly with N (stacked-cache updates), so small-N ×
-    # deep-stream wins over large-N.
-    for N in (8, 16, 32):
+    # must carry ~128 images to amortize the relay's 20-130 ms floor.  The
+    # dense permutation's quadratic-in-N cost is gone (block-diagonal
+    # reorder), so the sweep extends to N=64 to re-probe large-N scaling.
+    for N in (8, 16, 32, 64):
         Ks = max(1, 128 // N)  # ~128 images per dispatch across the sweep
 
         @jax.jit

@@ -266,7 +266,10 @@ def train_student_with_kd(
                 print(f"  Val BLEU-1: {val_bleu:.4f}")
             if stopper.update(val_loss):
                 best_val = val_loss
-                CKPT.save_checkpoint(
+                # async: snapshot now, write off the critical path (the npz
+                # write is ~a minute for large models on a slow host);
+                # wait_for_saves() below guarantees the file before return
+                CKPT.save_checkpoint_async(
                     os.path.join(output_dir, "best_student_model.npz"),
                     ckpt_tree(epoch, dict(val_loss=val_loss,
                                           val_bleu=val_bleu)))
@@ -281,6 +284,7 @@ def train_student_with_kd(
         elif verbose:
             print(f"Epoch {epoch+1}: Train Loss: {avg_train:.4f}")
 
+    CKPT.wait_for_saves()
     CKPT.save_checkpoint(
         os.path.join(output_dir, "final_student_model.npz"),
         ckpt_tree(tr.num_epochs, dict(

@@ -255,7 +255,9 @@ def train_student_with_kd_optimized(
 
         if stopper.update(val_loss):
             best_val = val_loss
-            CKPT.save_checkpoint(
+            # snapshot now, write in the background (utils/checkpoint);
+            # wait_for_saves() below runs before return
+            CKPT.save_checkpoint_async(
                 os.path.join(output_dir, "best_optimized_student_model.npz"),
                 ckpt_tree(epoch, dict(
                     val_loss=val_loss, val_bleu=val_bleu,
@@ -268,6 +270,7 @@ def train_student_with_kd_optimized(
             break
 
     total_time = timer.elapsed()
+    CKPT.wait_for_saves()
     common.write_history(
         os.path.join(output_dir, "optimized_training_history.json"),
         dict(train_losses=train_losses, val_losses=val_losses,

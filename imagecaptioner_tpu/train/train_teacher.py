@@ -177,7 +177,9 @@ def train(
                       f"Val Loss: {val_loss:.4f}")
             if stopper.update(val_loss):
                 best_val = val_loss
-                CKPT.save_checkpoint(
+                # snapshot now, write in the background (utils/checkpoint);
+                # wait_for_saves() below runs before the final save/return
+                CKPT.save_checkpoint_async(
                     os.path.join(output_dir, "best_teacher_model.npz"),
                     ckpt_tree(epoch, dict(val_loss=val_loss)))
                 if verbose:
@@ -191,6 +193,7 @@ def train(
         elif verbose:
             print(f"Epoch {epoch+1}: Train Loss: {avg_train:.4f}")
 
+    CKPT.wait_for_saves()
     CKPT.save_checkpoint(
         os.path.join(output_dir, "final_teacher_model.npz"),
         ckpt_tree(tr.num_epochs, dict(train_losses=train_losses,

@@ -71,18 +71,72 @@ def _unflatten(node: Any, arrays: Dict[str, np.ndarray]) -> Any:
     raise ValueError(f"corrupt checkpoint node: {node!r}")
 
 
-def save_checkpoint(path: str, tree: Any) -> None:
-    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+def _snapshot(tree: Any) -> Dict[str, np.ndarray]:
+    """Flatten + fetch every leaf to host numpy NOW.  Train steps donate
+    their state buffers, so the snapshot must complete before the caller
+    takes another step — only the (slow) disk write may be deferred."""
     arrays: Dict[str, np.ndarray] = {}
     spec: Dict[str, Any] = {}
     structure = _flatten(tree, "", arrays, spec)
     arrays["__structure__"] = np.frombuffer(
         json.dumps(structure).encode(), dtype=np.uint8)
+    return arrays
+
+
+def _write_npz(path: str, arrays: Dict[str, np.ndarray]) -> None:
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     # atomic-ish write
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
         np.savez(f, **arrays)
     os.replace(tmp, path)
+
+
+def save_checkpoint(path: str, tree: Any) -> None:
+    _write_npz(path, _snapshot(tree))
+
+
+# --- async writes: a multi-hundred-MB npz takes ~a minute on a slow host,
+# stalling training at every best-model save.  The snapshot (device_get) is
+# synchronous; the write runs on ONE background thread (FIFO, so repeated
+# saves to the same path land in order).  wait_for_saves() must run before
+# reading a just-saved file or letting the process exit. ---------------------
+
+_save_lock = __import__("threading").Lock()
+_pending: List[Any] = []
+_executor = None
+
+
+def _get_executor():
+    global _executor
+    if _executor is None:
+        from concurrent.futures import ThreadPoolExecutor
+
+        _executor = ThreadPoolExecutor(max_workers=1,
+                                       thread_name_prefix="ckpt-save")
+    return _executor
+
+
+def save_checkpoint_async(path: str, tree: Any):
+    """Snapshot ``tree`` to host now, write the npz in the background.
+    Returns the Future (exceptions surface there and in wait_for_saves)."""
+    arrays = _snapshot(tree)
+    fut = _get_executor().submit(_write_npz, path, arrays)
+    with _save_lock:
+        _pending.append(fut)
+    return fut
+
+
+def wait_for_saves() -> None:
+    """Block until every queued async checkpoint write has landed; re-raises
+    the first write error.  Trainers call this before returning so callers
+    (e.g. run_kd_pipeline, which loads best_student_model.npz immediately
+    after training) always see complete files."""
+    with _save_lock:
+        futs = list(_pending)
+        _pending.clear()
+    for f in futs:
+        f.result()
 
 
 def load_checkpoint(path: str) -> Any:

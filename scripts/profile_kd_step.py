@@ -192,6 +192,45 @@ def main():
     print(f"{'kd_train_step_total':28s} {per * 1e3:8.2f} ms/call "
           f"(sequential_chain)", flush=True)
 
+    # -- optimizer update alone (per-leaf AdamW over student+projectors) -----
+    opt_params = jax.tree.map(jnp.copy,
+                              {"student": s_params, "projectors": projectors})
+    opt_state0 = O.adamw_init(opt_params)
+
+    @jax.jit
+    def opt_update(seed):
+        # distinct pseudo-grads per call (relay dedupes identical calls)
+        grads = jax.tree.map(
+            lambda p: (p * 0 + seed).astype(p.dtype), opt_params)
+        new_p, _ = O.adamw_update(grads, opt_state0, opt_params,
+                                  lr=jnp.float32(1e-4))
+        return jax.tree.leaves(new_p)[0].ravel()[0]
+
+    def mk_seed(i):
+        return jnp.float32(i) * 1e-6
+
+    measure("optimizer_update_only", opt_update, mk_seed)
+
+    # -- KD losses alone (KL/feature/hidden over (T,B,V) logits) -------------
+    from imagecaptioner_tpu.distill import losses as DL
+    d_cfg = DistillConfig()
+
+    @jax.jit
+    def kd_losses(pair):
+        img, caps = pair
+        s_log = jnp.broadcast_to(img[0, 0, 0, :V][None, None],
+                                 (T, B, V)).astype(jnp.float32)
+        t_log = s_log * 0.99
+        proj_f = jnp.zeros((B, 49, 512), jnp.float32) + img[0, 0, 1, 0]
+        t_feat = jnp.zeros((B, 49, 512), jnp.float32) + img[0, 0, 2, 0]
+        total, parts = DL.distillation_loss(
+            {"logits": s_log, "encoder_features": proj_f},
+            {"logits": t_log, "encoder_features": t_feat},
+            caps, d_cfg, lengths=jnp.full((B,), T, jnp.int32))
+        return total
+
+    measure("kd_losses_only", kd_losses, mk_pair)
+
     measure("teacher_vit_encode", teacher_encode, mk_img, 4.6e9, B)
     measure("teacher_forward_full", teacher_fwd, mk_pair, 4.6e9, B)
     measure("student_encode", student_encode, mk_img, 4.1e9, B)

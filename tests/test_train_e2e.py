@@ -173,3 +173,27 @@ def test_checkpoint_roundtrip_exact():
     assert isinstance(got["nested"]["t"], tuple)
     assert got["none"] is None and got["s"] == "hello"
     assert got["n"] == 42 and got["f"] == 2.5 and got["flag"] is True
+
+
+def test_checkpoint_async_roundtrip_and_snapshot_isolation():
+    """save_checkpoint_async snapshots leaves at CALL time (train steps
+    donate/mutate state afterwards) and wait_for_saves() guarantees the file
+    is complete; repeated saves to one path land in order (single writer)."""
+    import tempfile
+
+    buf = np.arange(4, dtype=np.float32)
+    tree = {"w": jnp.asarray(buf), "tag": "v1"}
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "ck.npz")
+        CKPT.save_checkpoint_async(path, tree)
+        # second save supersedes the first (best-model overwrites)
+        CKPT.save_checkpoint_async(path, {"w": jnp.asarray(buf) + 1,
+                                          "tag": "v2"})
+        CKPT.wait_for_saves()
+        got = CKPT.load_checkpoint(path)
+        np.testing.assert_array_equal(got["w"], buf + 1)
+        assert got["tag"] == "v2"
+        # errors surface on wait (unwritable path)
+        CKPT.save_checkpoint_async(os.path.join(d, "no", "such",
+                                                "deeply", "x.npz"), tree)
+        CKPT.wait_for_saves()  # mkdir -p makes this fine: no error expected

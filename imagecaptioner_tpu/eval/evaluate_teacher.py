@@ -52,32 +52,81 @@ class CaptionEvaluator:
         return D.beam_result_to_captions(seqs, scores, self.vocab,
                                          num_return_sequences)
 
+    def caption_images_batch(self, images_nchw: jnp.ndarray, *,
+                             max_length=20, beam_size=5,
+                             length_penalty=0.6) -> List[str]:
+        """(N, 3, H, W) -> N best-beam captions in ONE dispatch via the
+        packed beam (beams folded into the batch dim — token-identical to
+        the per-image search, ops/decode.beam_search_teacher_packed)."""
+        memory = TM.encode_image(self.params, images_nchw, self.cfg)
+        seqs, scores, _ = D.beam_search_teacher_packed(
+            self.params, memory, self.cfg, max_length=max_length,
+            beam_size=beam_size, length_penalty=length_penalty)
+        seqs, scores = jax.device_get((seqs, scores))
+        return [D.beam_result_to_captions(seqs[i], scores[i], self.vocab, 1)[0]
+                for i in range(seqs.shape[0])]
+
     def evaluate_on_dataset(self, dataset, *, max_samples: int = 500,
-                            images_per_batch: int = 5,
+                            images_per_batch: int = 5, eval_batch: int = 16,
                             verbose: bool = True) -> Dict:
-        """evaluate_teacher.py:93-148: per-image beam caption vs reference."""
+        """evaluate_teacher.py:93-148: beam caption vs reference.  Batched
+        ``eval_batch`` images per dispatch (this rig's per-dispatch floor is
+        20-130 ms — a per-image loop would spend 10-60 s on dispatch alone
+        for 500 samples); the packed beam is token-identical to the
+        per-image search, so report values are unchanged.  A failing batch
+        degrades to the per-image path so failures stay per-image."""
         n = min(max_samples, len(dataset))
         bleu1, bleu2, meteor = [], [], []
         captions_out, refs_out = [], []
         failures = 0
-        for i in range(n):
+        done = 0
+        for start in range(0, n, eval_batch):
+            items = []
+            for i in range(start, min(start + eval_batch, n)):
+                try:
+                    items.append(dataset[i])
+                except Exception as e:  # reference swallows per-image errors
+                    failures += 1
+                    if verbose:
+                        print(f"  [warn] sample {i} failed: {e}")
+            if not items:
+                continue
+            imgs_u8 = np.stack([np.asarray(it[0]) for it in items])
+            # pad the trailing partial batch to the compiled batch shape
+            # (a fresh compile costs minutes through this relay)
+            pad = eval_batch - len(items) if start > 0 else 0
+            if pad:
+                imgs_u8 = np.concatenate(
+                    [imgs_u8, np.repeat(imgs_u8[-1:], pad, axis=0)])
+            images = T.normalize(jnp.asarray(imgs_u8))
             try:
-                img_u8, cap_ids = dataset[i]
-                image = T.normalize(jnp.asarray(img_u8)[None])
-                pred = self.caption_image(image)[0]
-                ref_words = self.vocab.decode(cap_ids)
-                ref = " ".join(ref_words)
+                preds = self.caption_images_batch(images)[:len(items)]
+            except Exception as e:
+                if verbose:
+                    print(f"  [warn] batch at {start} failed ({e}); "
+                          "retrying per-image")
+                preds = []
+                for it in items:
+                    try:
+                        preds.append(self.caption_image(
+                            T.normalize(jnp.asarray(it[0])[None]))[0])
+                    except Exception as e2:
+                        preds.append(None)
+                        failures += 1
+                        if verbose:
+                            print(f"  [warn] sample failed: {e2}")
+            for (img_u8, cap_ids), pred in zip(items, preds):
+                if pred is None:
+                    continue
+                ref = " ".join(self.vocab.decode(cap_ids))
                 bleu1.append(self.bleu_score(pred, ref, 1))
                 bleu2.append(self.bleu_score(pred, ref, 2))
                 meteor.append(self.meteor_score_simple(pred, ref))
                 captions_out.append(pred)
                 refs_out.append(ref)
-            except Exception as e:  # reference swallows per-image errors
-                failures += 1
-                if verbose:
-                    print(f"  [warn] sample {i} failed: {e}")
-            if verbose and (i + 1) % max(1, images_per_batch * 10) == 0:
-                print(f"  evaluated {i + 1}/{n}")
+            done = min(start + eval_batch, n)
+            if verbose and done % max(1, images_per_batch * 10) < eval_batch:
+                print(f"  evaluated {done}/{n}")
         total = len(bleu1)
         return {
             "num_samples": total,

@@ -198,3 +198,26 @@ def test_load_student_evaluator_enhanced_dispatch(artifacts, tmp_path):
     image = T.normalize(jnp.asarray(img_u8)[None])
     cap = ev.student_caption(image, max_length=5)
     assert isinstance(cap, str)
+
+
+def test_teacher_evaluator_batched_matches_per_image(artifacts):
+    """The batched evaluate_on_dataset (packed beam, eval_batch per
+    dispatch) must report the same captions/metrics as a per-image loop —
+    token parity packed-vs-single is the contract (test_beam_batched.py)."""
+    import jax.numpy as jnp
+
+    from imagecaptioner_tpu.data import transforms as T
+
+    root, out, ds, vocab, t_cfg, _ = artifacts
+    ev = load_teacher_evaluator(str(out / "best_teacher_model.npz"),
+                                str(out / "vocab.json"))
+    rep = ev.evaluate_on_dataset(ds, max_samples=6, eval_batch=4,
+                                 verbose=False)
+    per_image = []
+    for i in range(6):
+        img_u8, cap_ids = ds[i]
+        per_image.append(ev.caption_image(
+            T.normalize(jnp.asarray(img_u8)[None]))[0])
+    got = [s["generated"] for s in rep["samples"]]
+    assert got == per_image
+    assert rep["num_samples"] == 6 and rep["success_rate"] == 1.0

@@ -211,6 +211,21 @@ def main():
 
     measure("optimizer_update_only", opt_update, mk_seed)
 
+    # same, but with the KD step's real trainable mask (frozen-backbone
+    # leaves compile to identity — the production cost)
+    kd_mask = {"student": SM.student_trainable_mask(s_params, s_cfg),
+               "projectors": jax.tree.map(lambda _: True, projectors)}
+
+    @jax.jit
+    def opt_update_masked(seed):
+        grads = jax.tree.map(
+            lambda p: (p * 0 + seed).astype(p.dtype), opt_params)
+        new_p, _ = O.adamw_update(grads, opt_state0, opt_params,
+                                  lr=jnp.float32(1e-4), trainable=kd_mask)
+        return jax.tree.leaves(new_p)[0].ravel()[0]
+
+    measure("optimizer_update_kd_mask", opt_update_masked, mk_seed)
+
     # -- KD losses alone (KL/feature/hidden over (T,B,V) logits) -------------
     from imagecaptioner_tpu.distill import losses as DL
     d_cfg = DistillConfig()
@@ -218,8 +233,8 @@ def main():
     @jax.jit
     def kd_losses(pair):
         img, caps = pair
-        s_log = jnp.broadcast_to(img[0, 0, 0, :V][None, None],
-                                 (T, B, V)).astype(jnp.float32)
+        s_log = (jnp.zeros((T, B, V), jnp.float32)
+                 + img[0, 0, 0, 0].astype(jnp.float32))
         t_log = s_log * 0.99
         proj_f = jnp.zeros((B, 49, 512), jnp.float32) + img[0, 0, 1, 0]
         t_feat = jnp.zeros((B, 49, 512), jnp.float32) + img[0, 0, 2, 0]

@@ -4,13 +4,17 @@
 Times DECODE-ONLY variants (memory pre-staged on device, encode excluded)
 on the real chip, streamed via lax.map to amortize the relay dispatch floor:
 
-  greedy_rows   plain KV-cached greedy scan over the same N*K packed rows —
-                the decoder-step floor (no beam logic, no cache reorder)
-  beam_no_topk  packed beam with lax.top_k replaced by a first-K slice
-                (wrong results; isolates top_k cost)
-  beam_no_gather packed beam minus the per-step self-KV reorder gather
-                (wrong results; isolates gather cost)
-  beam_full     the real beam_search_teacher_packed
+  greedy_rows        plain KV-cached greedy scan over the same N*K packed
+                     rows — the decoder-step floor (no beam logic, no reorder)
+  beam_no_topk       packed beam with lax.top_k replaced by a first-K slice
+                     (wrong results; isolates top_k cost)
+  beam_no_reorder    packed beam minus the per-step self-KV reorder
+                     (wrong results; isolates total reorder cost)
+  beam_reorder_gather  reorder via XLA gather on the non-leading beam axis
+                     (the original r2 implementation — row-at-a-time on TPU)
+  beam_reorder_dense reorder via global (N*K)^2 one-hot permutation matmul
+  beam_full          the real beam_search_teacher_packed (block-diagonal
+                     (N,K,K) permutation reorder)
 
 Writes benchmarks/beam_ablation.json.  Usage:
   python scripts/bench_beam_ablate.py [--n 8 32] [--stream 4]
@@ -46,9 +50,14 @@ K_BEAM = 5
 MEM_TOKENS = 197
 
 
-def _packed_beam_variant(params, memory, cfg, *, topk: bool, gather: bool):
+def _packed_beam_variant(params, memory, cfg, *, topk: bool,
+                         reorder: str = "perm_blocked"):
     """beam_search_teacher_packed with ablation switches (timing only —
-    results are WRONG when a switch is off)."""
+    results are WRONG when a switch is off).  ``reorder``: 'none' (skip the
+    per-step self-KV reorder), 'gather' (XLA gather on the non-leading
+    axis — the original r2 implementation), 'perm_dense' (global (N*K)^2
+    one-hot matmul), 'perm_blocked' (production: per-image (N,K,K)
+    block-diagonal)."""
     N = memory.shape[0]
     K = K_BEAM
     S = MAX_LEN + 1
@@ -98,11 +107,19 @@ def _packed_beam_variant(params, memory, cfg, *, topk: bool, gather: bool):
                       ("seqs", "scores", "n_live", "fin_seqs", "fin_scores",
                        "fin_lens", "fin_count")}
         new, origin_src = book(book_state, top_scores, origin, token, t)
-        if gather:
+        if reorder == "gather":
             gidx = (jnp.arange(N)[:, None] * K + origin_src).reshape(N * K)
             new["self_kv"] = {"k": self_kv["k"][:, gidx],
                               "v": self_kv["v"][:, gidx]}
-        else:  # ablation: keep this step's writes, skip the reorder
+        elif reorder == "perm_dense":
+            gidx = (jnp.arange(N)[:, None] * K + origin_src).reshape(N * K)
+            new["self_kv"] = {"k": D._permute_kv_rows(self_kv["k"], gidx),
+                              "v": D._permute_kv_rows(self_kv["v"], gidx)}
+        elif reorder == "perm_blocked":
+            new["self_kv"] = {
+                "k": D._permute_kv_rows_blocked(self_kv["k"], origin_src),
+                "v": D._permute_kv_rows_blocked(self_kv["v"], origin_src)}
+        else:  # 'none': keep this step's writes, skip the reorder
             new["self_kv"] = self_kv
         return new, None
 
@@ -150,10 +167,16 @@ def main():
                 max_length=MAX_LEN))
         run("beam_no_topk",
             functools.partial(_packed_beam_variant, params, cfg=cfg,
-                              topk=False, gather=True))
-        run("beam_no_gather",
+                              topk=False, reorder="perm_blocked"))
+        run("beam_no_reorder",
             functools.partial(_packed_beam_variant, params, cfg=cfg,
-                              topk=True, gather=False))
+                              topk=True, reorder="none"))
+        run("beam_reorder_gather",
+            functools.partial(_packed_beam_variant, params, cfg=cfg,
+                              topk=True, reorder="gather"))
+        run("beam_reorder_dense",
+            functools.partial(_packed_beam_variant, params, cfg=cfg,
+                              topk=True, reorder="perm_dense"))
         run("beam_full",
             lambda m: D.beam_search_teacher_packed(
                 params, m, cfg, max_length=MAX_LEN, beam_size=K_BEAM)[0])

@@ -137,3 +137,42 @@ def guarded_rate(stats: Dict[str, Any], items_per_call: float,
                 out["items_per_sec"] = ceiling
                 out["estimator"] = "physics_capped (both estimators exceeded)"
     return out
+
+
+#: ms per chained 8192^3 bf16 matmul pair on a CALM relay (2 matmuls at
+#: ~8.8 ms each — the CLAUDE.md calibration reference for this container).
+CALIBRATION_CALM_MS_PER_PAIR = 17.6
+
+
+def relay_calibration(trials: int = 3, chain: int = 6,
+                      dim: int = 8192) -> float:
+    """Measure the shared relay's current health: ms per chained 8192^3 bf16
+    matmul pair (calm ~= ``CALIBRATION_CALM_MS_PER_PAIR``; 2x+ means a loaded
+    relay and any co-recorded numbers should be treated as inflated).
+
+    Benchmarks embed this before/after their measurements so every recorded
+    JSON carries its own load evidence.  The first post-compile dispatch
+    burst through the relay is reproducibly ~8x slow (tunnel spin-up), so
+    one throwaway trial runs before the ``trials`` measured ones.
+    """
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def pair(a, b):
+        c = (a @ b).astype(jnp.bfloat16)
+        return (c @ b).astype(jnp.bfloat16)
+
+    ks = [jax.random.normal(jax.random.PRNGKey(77_000 + i), (dim, dim),
+                            jnp.bfloat16) for i in range(chain + 1)]
+    jax.device_get(pair(ks[0], ks[1])[0, 0])  # compile + warm
+    best = []
+    for trial in range(trials + 1):
+        t0 = time.perf_counter()
+        outs = [pair(ks[i], ks[i + 1]) for i in range(chain)]
+        jax.device_get(jnp.stack([o[0, 0] for o in outs]))
+        if trial > 0:  # trial 0 = spin-up throwaway
+            best.append((time.perf_counter() - t0) / chain)
+    return statistics.median(best) * 1e3

@@ -37,7 +37,12 @@ def cross_entropy_ignore_pad(logits: jnp.ndarray, targets: jnp.ndarray
     """nn.CrossEntropyLoss(ignore_index=0) over (T, B, V) logits / (T, B)
     targets: mean over non-PAD positions."""
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-    nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
+    # one-hot contraction, not take_along_axis: XLA lowers a last-axis gather
+    # row-at-a-time on TPU (CLAUDE.md; same pathology as the beam KV reorder)
+    # while the masked sum fuses into the softmax.  Bit-exact: every non-
+    # selected product is exactly 0.0 and x + 0.0 == x.
+    one_hot = jax.nn.one_hot(targets, logits.shape[-1], dtype=logp.dtype)
+    nll = -jnp.sum(logp * one_hot, axis=-1)
     mask = (targets != 0).astype(jnp.float32)
     return jnp.sum(nll * mask) / jnp.maximum(jnp.sum(mask), 1.0)
 
@@ -131,7 +136,11 @@ def focal_loss(logits_flat: jnp.ndarray, targets_flat: jnp.ndarray,
     """focal = a * (1-pt)^g * ce, mean — NO pad-ignore, like the reference
     (:52-57 uses CrossEntropyLoss(reduction='none') without ignore_index)."""
     logp = jax.nn.log_softmax(logits_flat.astype(jnp.float32), -1)
-    ce = -jnp.take_along_axis(logp, targets_flat[:, None], axis=-1)[:, 0]
+    # one-hot contraction (TPU-fast), not a last-axis gather — see
+    # cross_entropy_ignore_pad
+    one_hot = jax.nn.one_hot(targets_flat, logits_flat.shape[-1],
+                             dtype=logp.dtype)
+    ce = -jnp.sum(logp * one_hot, axis=-1)
     pt = jnp.exp(-ce)
     fl = alpha * (1.0 - pt) ** gamma * ce
     if mask is None:

@@ -4,7 +4,10 @@
 Decides where training-path kernel/fusion work pays off (SURVEY §7 step 8):
 teacher ViT forward, student encoder fwd, full student fwd, full fwd+bwd,
 decoder-only fwd+bwd, and the complete KD step.  Honest methodology per
-core/timing.py (distinct inputs, output-fetch sync, median marginal).
+core/timing.py (distinct inputs, output-fetch sync, median marginal), with
+every component streamed x8 per dispatch (lax.map; the KD step via a
+donation-safe lax.scan chain) so the relay's 20-130 ms dispatch floor
+amortizes out of the ~1-10 ms component estimates.
 
 Usage: python scripts/profile_kd_step.py [--batch 16]
 """
@@ -71,15 +74,38 @@ def main():
 
     results = {}
 
+    # Relay-health bookends: the shared relay's load drifts minute-to-minute
+    # (observed 2-6x), and a profile whose components were measured under
+    # different load disagrees with itself.  Record calibration before and
+    # after so the JSON carries its own validity evidence.
+    calib_before = timing.relay_calibration()
+    print(f"relay calibration (before): {calib_before:.1f} ms/pair "
+          f"(calm ~{timing.CALIBRATION_CALM_MS_PER_PAIR})", flush=True)
+
+    # Each component is tiny (1-5 ms) next to this relay's 20-130 ms
+    # per-dispatch floor, so single-call marginal estimates carry +-2 ms of
+    # dispatch noise (observed run-to-run: student_encode "costing" more
+    # than the full forward).  Stream STREAM_K inner calls per dispatch via
+    # lax.map — same treatment as bench.py / run_all.py serving numbers —
+    # so the floor amortizes and the marginal estimator sees device rate.
+    STREAM_K = 8
+
     def measure(name, fn, mk, flops_item=None, items=1.0):
-        stats = timing.steady_state(fn, mk, n_small=3, n_large=9, pairs=3)
-        g = timing.guarded_rate(stats, items_per_call=items,
+        streamed = jax.jit(lambda stk: jax.lax.map(fn, stk))
+
+        def mk_stream(i):
+            xs = [mk(i * STREAM_K + j) for j in range(STREAM_K)]
+            return jax.tree.map(lambda *ls: jnp.stack(ls), *xs)
+
+        stats = timing.steady_state(streamed, mk_stream,
+                                    n_small=3, n_large=9, pairs=3)
+        g = timing.guarded_rate(stats, items_per_call=items * STREAM_K,
                                 flops_per_item=flops_item)
         per_call = items / g["items_per_sec"]
         results[name] = {"per_call_ms": per_call * 1e3,
-                         "estimator": g["estimator"]}
+                         "estimator": f"median_marginal_streamed{STREAM_K}"}
         print(f"{name:28s} {per_call * 1e3:8.2f} ms/call "
-              f"({g['estimator']})", flush=True)
+              f"(streamed x{STREAM_K}, {g['estimator']})", flush=True)
 
     # -- teacher forward (ViT-S 197 tokens + 4-layer decoder) ----------------
     @jax.jit
@@ -127,6 +153,21 @@ def main():
         g = grad_fn(s_params, pair)
         return jax.tree.leaves(g)[0].ravel()[0]
 
+    # -- student fwd+bwd under the PRODUCTION trainable mask ------------------
+    # The KD step zeroes frozen-backbone grads before any use, so XLA
+    # dead-code-eliminates the ResNet backward from the compiled step; the
+    # full-tree probe above differentiates everything and measures MORE work
+    # than the step contains.  This probe applies the same mask inside the
+    # jit so DCE matches production.
+    kd_trainable = SM.student_trainable_mask(s_params, s_cfg)
+
+    @jax.jit
+    def student_fwdbwd_masked(pair):
+        g = jax.grad(_loss)(s_params, pair)
+        g = jax.tree.map(lambda gr, t: gr if t else jnp.zeros_like(gr),
+                         g, kd_trainable)
+        return sum(jnp.sum(l) for l in jax.tree.leaves(g))
+
     # -- decoder-only fwd+bwd (fixed features) --------------------------------
     feats0 = jnp.zeros((B, 49, s_cfg.embed_size), dt)
 
@@ -164,33 +205,51 @@ def main():
     state = steps.TrainState(params, O.adamw_init(params),
                              jax.tree.map(jnp.copy, s_state))
 
-    def kd_batch(i):
-        rng = np.random.default_rng(i)
-        return {
-            "images": rng.integers(0, 255, (1, B, 224, 224, 3),
-                                   dtype=np.uint8),
-            "captions": rng.integers(1, V, (1, T, B)).astype(np.int32),
-            "lengths": np.full((1, B), T, np.int32),
-        }
-
-    # state is donated, so time a sequentially-dependent chain (final-loss
-    # fetch is a true sync; every batch distinct)
+    # state is donated, so chain K sequentially-dependent steps inside ONE
+    # dispatch (lax.scan over stacked distinct batches) — the same
+    # device-rate methodology as run_all.py's `run_impl_streamed`; a
+    # per-dispatch python loop would measure the relay's 20-130 ms floor,
+    # not the ~10 ms step.
+    import functools
     import time as _time
 
-    state, m = step(state, teacher_params, kd_batch(0), jnp.float32(1e-4),
-                    jnp.int32(0), jax.random.PRNGKey(3))
-    _ = jax.device_get(m["total_loss"])  # compile+warmup
-    batches = [kd_batch(1 + i) for i in range(8)]
+    K_STEPS, N_CALLS = 8, 4
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step_chain(st, stacked, rngs):
+        def body(carry, xs):
+            b, r = xs
+            carry, m = step(carry, teacher_params, b, jnp.float32(1e-4),
+                            jnp.int32(0), r)
+            return carry, m["total_loss"]
+        st, losses = jax.lax.scan(body, st, (stacked, rngs))
+        return st, losses[-1]
+
+    def stacked_batches(seed):
+        r = np.random.default_rng(seed)
+        return jax.device_put({
+            "images": r.integers(0, 255, (K_STEPS, 1, B, 224, 224, 3),
+                                 dtype=np.uint8),
+            "captions": r.integers(1, V, (K_STEPS, 1, T, B)).astype(np.int32),
+            "lengths": np.full((K_STEPS, 1, B), T, np.int32),
+        })
+
+    calls = [(stacked_batches(100 + i),
+              jax.random.split(jax.random.PRNGKey(200 + i), K_STEPS))
+             for i in range(N_CALLS + 1)]
+    jax.block_until_ready(calls)
+    state, loss = step_chain(state, *calls[0])
+    _ = jax.device_get(loss)  # compile+warmup
     t0 = _time.perf_counter()
-    for i, b in enumerate(batches):
-        state, m = step(state, teacher_params, b, jnp.float32(1e-4),
-                        jnp.int32(i), jax.random.fold_in(jax.random.PRNGKey(4), i))
-    _ = jax.device_get(m["total_loss"])
-    per = (_time.perf_counter() - t0) / len(batches)
-    results["kd_train_step_total"] = {"per_call_ms": per * 1e3,
-                                      "estimator": "sequential_chain"}
+    for c in calls[1:]:
+        state, loss = step_chain(state, *c)
+    _ = jax.device_get(loss)
+    per = (_time.perf_counter() - t0) / (N_CALLS * K_STEPS)
+    results["kd_train_step_total"] = {
+        "per_call_ms": per * 1e3,
+        "estimator": f"scan_chain_streamed{K_STEPS}"}
     print(f"{'kd_train_step_total':28s} {per * 1e3:8.2f} ms/call "
-          f"(sequential_chain)", flush=True)
+          f"(scan_chain_streamed{K_STEPS})", flush=True)
 
     # -- optimizer update alone (per-leaf AdamW over student+projectors) -----
     opt_params = jax.tree.map(jnp.copy,
@@ -251,8 +310,25 @@ def main():
     measure("student_encode", student_encode, mk_img, 4.1e9, B)
     measure("student_forward_full", student_fwd, mk_pair, 4.1e9, B)
     measure("student_fwd_bwd", student_fwdbwd, mk_pair, 1.23e10, B)
+    measure("student_fwd_bwd_kd_mask", student_fwdbwd_masked, mk_pair,
+            None, B)
     measure("decoder_only_fwd_bwd", decoder_fwdbwd, mk_pair, None, B)
 
+    calib_after = timing.relay_calibration()
+    print(f"relay calibration (after): {calib_after:.1f} ms/pair", flush=True)
+    results["_relay_calibration"] = {
+        "before_ms_per_pair": calib_before,
+        "after_ms_per_pair": calib_after,
+        "calm_ms_per_pair": timing.CALIBRATION_CALM_MS_PER_PAIR,
+    }
+    results["_note"] = (
+        "kd_train_step_total (scan-chained, one dispatch per 8 steps) is "
+        "stable run-to-run; the per-COMPONENT entries retain ~2x "
+        "multiplicative noise from relay micro-bursts even when the "
+        "calibration bookends read calm — trust their ordering and "
+        "magnitude, not their second digit.  A freshly-compiled entry's "
+        "first measurement can read high (tunnel spin-up); re-run with the "
+        "compile cache warm before recording.")
     results["_config"] = {"batch": B, "seq": T,
                           "decoder_impl": args.decoder_impl}
     print(json.dumps(results, indent=2))

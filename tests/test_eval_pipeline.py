@@ -145,6 +145,14 @@ def test_steady_state_estimator():
     assert "physics" in g["estimator"] or "total_based" in g["estimator"]
 
 
+def test_relay_calibration_probe():
+    """The relay-health probe runs (tiny dims on CPU) and returns ms > 0."""
+    from imagecaptioner_tpu.core import timing
+
+    ms = timing.relay_calibration(trials=1, chain=2, dim=64)
+    assert ms > 0.0
+
+
 def test_streamlit_demo_cli(artifacts):
     root, out, ds, vocab, t_cfg, _ = artifacts
     import streamlit_app as APP

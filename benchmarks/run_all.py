@@ -140,6 +140,40 @@ def config_2():
         out["pallas"] = {"p50_latency_s": m_p["p50_latency_s"],
                          "images_per_sec": m_p["items_per_sec"],
                          "measurement": m_p}
+
+        # --- serving-style streamed greedy sweep (same treatment as the
+        # beam sweep in config_3 and bench.py): K batch-B captioning calls
+        # per dispatch via lax.map, through the canonical serving
+        # dispatcher (fused kernel + VMEM gate + loud fallback), so the
+        # relay's 20-130 ms per-dispatch floor amortizes and the number is
+        # sustained serving throughput, not single-dispatch latency. ---
+        sweep = {}
+        for B in (16, 32, 64):
+            Ks = max(1, 256 // B)  # ~256 images per dispatch
+
+            @jax.jit
+            def greedy_stream(stacked, _B=B):  # (Ks, B, 3, 224, 224)
+                def one(img):
+                    _, refined, _ = SM.encode_image(params, state, img, cfg)
+                    return D.best_greedy_decode_student(
+                        params, refined, cfg, max_length=20)
+                return jax.lax.map(one, stacked)
+
+            def mk_s(i, _B=B, _Ks=Ks):
+                return jax.random.normal(
+                    jax.random.PRNGKey(400000 + 100 * _B + i),
+                    (_Ks, _B, 3, 224, 224), jnp.bfloat16)
+
+            mg = _measure(greedy_stream, mk_s,
+                          items_per_call=float(B * Ks),
+                          flops_per_item=flops, n_small=2, n_large=8)
+            sweep[f"B{B}xK{Ks}"] = {
+                "images_per_sec": mg["items_per_sec"],
+                "p50_latency_s": mg["p50_latency_s"],
+                "measurement": mg}
+        best = max(sweep.values(), key=lambda d: d["images_per_sec"])
+        out["serving_greedy_sweep"] = sweep
+        out["serving_greedy_images_per_sec"] = best["images_per_sec"]
     return out
 
 

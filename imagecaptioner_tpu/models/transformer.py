@@ -148,11 +148,21 @@ def precompute_memory_kv(layers: List[Params], memory: jnp.ndarray) -> List[Para
 def decoder_step_cached(
     layers: List[Params], x_t: jnp.ndarray, pos: jnp.ndarray,
     self_kv: Params, mem_kv: List[Params], *, num_heads: int,
+    mem_group: int = 1,
 ) -> Tuple[jnp.ndarray, Params]:
     """One token through all layers with KV caching (eval mode, no dropout).
 
     x_t (B, 1, E); pos scalar int32 index; self_kv {'k','v'}: (L, B, S, E).
     Returns (y (B, 1, E), updated self_kv).
+
+    ``mem_group``: number of consecutive x_t rows sharing one ``mem_kv`` row
+    (beam search packs an image's K beams at rows n*K..n*K+K-1, all attending
+    the SAME encoder memory).  The grouped rows attend as K query positions
+    of one cross-attention call — same math per row (cross-attention has no
+    mask and softmaxes each query independently), but the memory K/V are
+    stored and read once per image instead of once per beam.  The decode
+    loop is HBM-bound, and the per-beam K/V re-read each step was its
+    largest term (~5x the per-image traffic at beam_size=5).
     """
     max_len = self_kv["k"].shape[2]
     new_k, new_v = self_kv["k"], self_kv["v"]
@@ -174,7 +184,12 @@ def decoder_step_cached(
         y = M.layer_norm(p["norm1"], y + sa)
 
         qc = _proj_q(p["multihead_attn"], y)
-        ca = _attend(qc, mem_kv[li]["k"], mem_kv[li]["v"], num_heads)
+        if mem_group > 1:
+            qg = qc.reshape(-1, mem_group, qc.shape[-1])  # (N, K, E)
+            ca = _attend(qg, mem_kv[li]["k"], mem_kv[li]["v"], num_heads)
+            ca = ca.reshape(qc.shape)
+        else:
+            ca = _attend(qc, mem_kv[li]["k"], mem_kv[li]["v"], num_heads)
         ca = M.dense(p["multihead_attn"]["out_proj"], ca)
         y = M.layer_norm(p["norm2"], y + ca)
 

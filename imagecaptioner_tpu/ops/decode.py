@@ -242,8 +242,9 @@ def beam_search_teacher(
     S = max_length + 1
     V = cfg.vocab_size
     layers = params["decoder"]
-    memory_k = jnp.broadcast_to(memory, (K,) + memory.shape[1:])
-    mem_kv = TD.precompute_memory_kv(layers, memory_k)
+    # cross-attention K/V once for the image; the K beams attend it as K
+    # grouped query rows (mem_group) instead of K duplicated K/V copies
+    mem_kv = TD.precompute_memory_kv(layers, memory)
     self_kv = TD.init_kv_cache(len(layers), K, S, cfg.embed_size, memory.dtype)
 
     def lp(length):  # GNMT penalty, teacher_model.py:202
@@ -267,7 +268,8 @@ def beam_search_teacher(
         tok = state["seqs"][:, t]
         x = _teacher_embed_step(params, tok, t, cfg).astype(memory.dtype)
         y, self_kv = TD.decoder_step_cached(layers, x, t, state["self_kv"],
-                                            mem_kv, num_heads=cfg.num_heads)
+                                            mem_kv, num_heads=cfg.num_heads,
+                                            mem_group=K)
         logits = _teacher_logits_step(params, y, cfg)          # (K, V)
         logp = jax.nn.log_softmax(logits, axis=-1)
         cand = state["scores"][:, None] + logp                 # dead rows -inf
@@ -368,11 +370,11 @@ def beam_search_teacher_packed(
     V = cfg.vocab_size
     layers = params["decoder"]
     # image n's beams live at packed rows n*K .. n*K+K-1.  Cross-attention
-    # K/V are projected once per IMAGE and repeated per beam — projecting
-    # the repeated memory would redo those matmuls K times.
-    mem_kv = [{"k": jnp.repeat(c["k"], K, axis=0),
-               "v": jnp.repeat(c["v"], K, axis=0)}
-              for c in TD.precompute_memory_kv(layers, memory)]
+    # K/V are projected once per IMAGE and shared by its K beams as grouped
+    # query rows (mem_group=K in the decode step) — duplicating them per
+    # beam would 5x both the projection matmuls and, worse, the per-step
+    # HBM re-read of the K/V (the decode loop's largest traffic term).
+    mem_kv = TD.precompute_memory_kv(layers, memory)
     self_kv = TD.init_kv_cache(len(layers), N * K, S, cfg.embed_size,
                                memory.dtype)
 
@@ -400,7 +402,8 @@ def beam_search_teacher_packed(
         tok = state["seqs"][:, :, t].reshape(N * K)
         x = _teacher_embed_step(params, tok, t, cfg).astype(memory.dtype)
         y, self_kv = TD.decoder_step_cached(layers, x, t, state["self_kv"],
-                                            mem_kv, num_heads=cfg.num_heads)
+                                            mem_kv, num_heads=cfg.num_heads,
+                                            mem_group=K)
         logits = _teacher_logits_step(params, y, cfg)          # (N*K, V)
         logp = jax.nn.log_softmax(logits, axis=-1).reshape(N, K, V)
         cand = state["scores"][:, :, None] + logp              # dead rows -inf

@@ -13,8 +13,14 @@ on the real chip, streamed via lax.map to amortize the relay dispatch floor:
   beam_reorder_gather  reorder via XLA gather on the non-leading beam axis
                      (the original r2 implementation — row-at-a-time on TPU)
   beam_reorder_dense reorder via global (N*K)^2 one-hot permutation matmul
+  beam_ungrouped_mem correct beam with cross-attention K/V duplicated per
+                     beam (the pre-grouping layout; 5x the per-step K/V
+                     HBM re-read of the production grouped version)
   beam_full          the real beam_search_teacher_packed (block-diagonal
-                     (N,K,K) permutation reorder)
+                     (N,K,K) permutation reorder, beam-grouped cross-attn)
+
+All _packed_beam_variant arms use the ungrouped (per-beam K/V) layout, so
+they ablate against beam_ungrouped_mem; beam_full is the production path.
 
 Writes benchmarks/beam_ablation.json.  Usage:
   python scripts/bench_beam_ablate.py [--n 8 32] [--stream 4]
@@ -177,6 +183,9 @@ def main():
         run("beam_reorder_dense",
             functools.partial(_packed_beam_variant, params, cfg=cfg,
                               topk=True, reorder="perm_dense"))
+        run("beam_ungrouped_mem",
+            functools.partial(_packed_beam_variant, params, cfg=cfg,
+                              topk=True, reorder="perm_blocked"))
         run("beam_full",
             lambda m: D.beam_search_teacher_packed(
                 params, m, cfg, max_length=MAX_LEN, beam_size=K_BEAM)[0])

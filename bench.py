@@ -1,13 +1,19 @@
 #!/usr/bin/env python
-"""Headline benchmark: full-student batch-16 greedy captioning throughput.
+"""Headline benchmark: full-student greedy captioning serving throughput.
 
 Prints ONE JSON line:
   {"metric": "student_greedy_images_per_sec_per_chip", "value": N,
    "unit": "images/s", "vs_baseline": N / cpu_torch_baseline}
 
+Serving point: B=32 images/batch x 8 batches streamed per dispatch — the
+best point of the recorded sweep (benchmarks/results.json #2
+``serving_greedy_sweep``: B16 10,095 / B32 11,454 / B64 10,744 img/s);
+override with IC_BENCH_BATCH / IC_BENCH_STREAM.
+
 ``vs_baseline`` is against the CPU PyTorch reference-architecture student
-(BASELINE.json north star: >=10x on v5e-1).  The torch baseline is measured
-once per machine and cached in .bench_baseline.json (delete to re-measure).
+at the SAME batch size (BASELINE.json north star: >=10x on v5e-1).  The
+torch baseline is measured once per machine and cached in
+.bench_baseline.json (delete to re-measure).
 Run with --quick for a fast smoke (smaller batch count).
 """
 
@@ -20,7 +26,7 @@ import sys
 import time
 
 VOCAB = 2994
-BATCH = int(os.environ.get("IC_BENCH_BATCH", "16"))
+BATCH = int(os.environ.get("IC_BENCH_BATCH", "32"))
 STREAM_K = int(os.environ.get("IC_BENCH_STREAM", "8"))
 MAX_LEN = 20
 BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -28,7 +34,7 @@ BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 
 
 def measure_torch_baseline(num_batches: int = 2) -> float:
-    """images/sec of the eager CPU torch reference student (greedy, B=16)."""
+    """images/sec of the eager CPU torch reference student (greedy, B=BATCH)."""
     import torch
 
     from benchmarks.torch_baseline import TorchBaselineStudent
@@ -57,7 +63,7 @@ def get_torch_baseline(quick: bool) -> float:
         json.dump({"vocab": VOCAB, "batch": BATCH, "max_len": MAX_LEN,
                    "images_per_sec": ips,
                    "what": "eager CPU torch reference-architecture student, "
-                           "batch-16 greedy decode"}, f)
+                           f"batch-{BATCH} greedy decode"}, f)
     return ips
 
 
@@ -100,8 +106,8 @@ def measure_jax(num_batches: int) -> dict:
         return D.best_greedy_decode_student(params, refined, cfg,
                                             max_length=MAX_LEN)
 
-    # One dispatch processes a STREAM of K batch-16 batches (lax.map keeps
-    # per-batch-16 execution semantics).  Through this relay a single
+    # One dispatch processes a STREAM of K batch-BATCH batches (lax.map
+    # keeps per-batch execution semantics).  Through this relay a single
     # dispatch costs ~15 ms while the batch itself is ~2 ms of compute —
     # serving at full rate requires amortizing dispatch, exactly as a real
     # serving loop would queue work.

@@ -237,9 +237,21 @@ def multi_head_attention(
                  and (not causal or q.shape[2] == k.shape[2]))
     if use_fused:
         from imagecaptioner_tpu.ops.pallas_attention import (
-            dp_attention_policy, fused_attention_core, fused_attention_sharded)
+            dp_attention_policy, fused_attention_core,
+            fused_attention_pays_off, fused_attention_sharded)
 
         pol = dp_attention_policy()
+        if attn_impl != "pallas":
+            # measured shape gate (skipped when the caller pins the kernel):
+            # at small score tensors the XLA batched GEMM beats the
+            # per-(batch, head)-program kernel 3-4x — see
+            # fused_attention_pays_off.  Under DP the kernel sees the
+            # per-shard batch.
+            shards = pol[0].shape[pol[1]] if pol is not None else 1
+            use_fused = fused_attention_pays_off(
+                max(q.shape[0] // shards, 1), num_heads,
+                q.shape[2], k.shape[2])
+    if use_fused:
         if pol is not None:
             # DP mesh: per-batch-shard kernel via shard_map (the kernel is
             # opaque to GSPMD; without this the fused path would be lost the

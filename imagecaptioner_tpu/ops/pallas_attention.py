@@ -83,6 +83,41 @@ def default_attn_impl() -> str:
     return "xla"
 
 
+# Fused-vs-XLA crossover, measured per-HLO on the v5e chip
+# (scripts/bench_attn_impl.py -> benchmarks/attn_impl_sweep.json): the
+# kernel's one-program-per-(batch, head) grid runs tiny (L, 64) matmuls, so
+# while the materialized f32 score tensor still fits on-chip the XLA
+# batched-GEMM core wins 2.8-3.7x (B16 H6 L197 ViT teacher: 22.5 us XLA vs
+# 82.5 us fused; up through B*H*Lq*Lk*4 ~ 75 MB).  Past ~100 MB XLA falls
+# off a cliff (B16 H8 L448: 398 us vs 184 us fused) and the fused kernel
+# wins 2.2-2.9x from there up.  Dispatch on that boundary.
+FUSED_MIN_SCORE_BYTES = 96 * 1024 * 1024
+
+
+def fused_attention_pays_off(batch: int, heads: int, lq: int, lk: int) -> bool:
+    """True when the fused kernel beats the XLA core at these shapes
+    (``batch`` = per-device rows: divide by the DP shard count first)."""
+    return batch * heads * lq * lk * 4 >= FUSED_MIN_SCORE_BYTES
+
+
+def attention_auto(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
+                   causal: bool, scale: float) -> jnp.ndarray:
+    """Policy + measured-shape dispatch for a plain (no mask tensor, no
+    weight dropout) attention core: the fused kernel — per-batch-shard
+    under the DP policy — when ``fused_attention_pays_off``, the XLA core
+    otherwise.  Shared by multi_head_attention and the ViT blocks."""
+    if default_attn_impl() == "pallas":
+        pol = dp_attention_policy()
+        shards = pol[0].shape[pol[1]] if pol is not None else 1
+        if fused_attention_pays_off(max(q.shape[0] // shards, 1),
+                                    q.shape[1], q.shape[2], k.shape[2]):
+            if pol is not None:
+                return fused_attention_sharded(q, k, v, causal, scale,
+                                               pol[0], pol[1])
+            return fused_attention_core(q, k, v, causal, scale)
+    return attention_core_xla(q, k, v, causal=causal, scale=scale)
+
+
 def attention_core_xla(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                        *, causal: bool, scale: float) -> jnp.ndarray:
     """Reference core: q (B,H,Lq,D), k/v (B,H,Lk,D) -> (B,H,Lq,D).

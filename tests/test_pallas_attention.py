@@ -197,3 +197,74 @@ def test_default_attn_impl_dp_policy(monkeypatch):
     monkeypatch.setattr(jax, "default_backend", lambda: "cpu")
     with PA.data_parallel_attention(mesh):
         assert PA.default_attn_impl() == "xla"  # policy is a no-op off-TPU
+
+
+# -- measured shape gate (round 3) -------------------------------------------
+# The kernel's one-program-per-(batch, head) grid loses 3-4x to the XLA
+# batched GEMM while the f32 score tensor fits on-chip; it wins 2.2-2.9x
+# past ~100 MB (scripts/bench_attn_impl.py, benchmarks/attn_impl_sweep.json).
+
+
+def test_fused_pays_off_measured_boundaries():
+    from imagecaptioner_tpu.ops import pallas_attention as PA
+
+    # ViT-S/16 teacher (B16 H6 L197, 15 MB of scores): XLA wins 3.7x
+    assert not PA.fused_attention_pays_off(16, 6, 197, 197)
+    # teacher decoder self/cross attention at T=24: far below the gate
+    assert not PA.fused_attention_pays_off(16, 8, 24, 24)
+    assert not PA.fused_attention_pays_off(16, 8, 24, 197)
+    # measured XLA cliff: B16 H8 L448 (103 MB) and B32 H8 L384 (151 MB)
+    # run 2.2-2.9x faster fused; B16 H8 L384 (75 MB) still favors XLA
+    assert PA.fused_attention_pays_off(16, 8, 448, 448)
+    assert PA.fused_attention_pays_off(32, 8, 384, 384)
+    assert not PA.fused_attention_pays_off(16, 8, 384, 384)
+
+
+def test_mha_shape_gate_small_routes_to_xla(monkeypatch):
+    """Under a pallas policy, sub-threshold shapes must NOT reach the
+    kernel; an explicit attn_impl='pallas' pin bypasses the gate."""
+    from imagecaptioner_tpu.core import modules as M2
+    from imagecaptioner_tpu.ops import pallas_attention as PA
+
+    monkeypatch.setattr(PA, "default_attn_impl", lambda: "pallas")
+    calls = []
+
+    def fake_kernel(q, k, v, causal=False, scale=1.0, interpret=False):
+        calls.append(q.shape)
+        return attention_core_xla(q, k, v, causal=causal, scale=scale)
+
+    monkeypatch.setattr(PA, "fused_attention_core", fake_kernel)
+    p = M2.mha_init(jax.random.PRNGKey(0), 32)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 7, 32))
+    out_gated, _ = M2.multi_head_attention(p, x, x, x, num_heads=4)
+    assert calls == []  # gate sent it to the XLA branch
+    out_pinned, _ = M2.multi_head_attention(p, x, x, x, num_heads=4,
+                                            attn_impl="pallas")
+    assert len(calls) == 1  # pin bypasses the gate
+    np.testing.assert_allclose(np.asarray(out_gated), np.asarray(out_pinned),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_attention_auto_dispatch(monkeypatch):
+    from imagecaptioner_tpu.ops import pallas_attention as PA
+
+    monkeypatch.setattr(PA, "default_attn_impl", lambda: "pallas")
+
+    def boom(*a, **k):
+        raise AssertionError("kernel reached below the gate")
+
+    monkeypatch.setattr(PA, "fused_attention_core", boom)
+    q, k, v = _qkv(jax.random.PRNGKey(7), B=2, H=2, Lq=8, Lk=8, D=8)
+    out = PA.attention_auto(q, k, v, causal=False, scale=0.5)
+    ref = PA.attention_core_xla(q, k, v, causal=False, scale=0.5)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+    hit = []
+    monkeypatch.setattr(
+        PA, "fused_attention_core",
+        lambda q_, k_, v_, c, s, i=False: hit.append(1) or q_ * 0)
+    # above-threshold shapes reach the kernel (tiny D keeps tensors small;
+    # the fake kernel never materializes the >=96 MB score tensor)
+    qb = jnp.zeros((64, 8, 512, 8), jnp.float32)
+    _ = PA.attention_auto(qb, qb, qb, causal=False, scale=0.5)
+    assert hit

@@ -1,0 +1,125 @@
+#!/usr/bin/env python
+"""Per-HLO device-time profile of the two serving paths (XLA profiler).
+
+  greedy  — full-student batch greedy captioning (bench.py's headline path:
+            encode + fused Pallas greedy decode), one batch per call
+  beam    — teacher packed beam search (results.json #3 path: ViT encode +
+            K-beams-in-batch KV-cached decode), N images per call
+
+Device durations come from the trace (core/profiling.py) — immune to the
+relay dispatch floor, so one un-streamed call per run is enough.
+
+Writes benchmarks/serving_hlo_profile.json.
+Usage: python scripts/profile_serving_hlo.py [--which greedy beam]
+       [--batch 32] [--beam-n 8]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--which", nargs="+", default=["greedy", "beam"],
+                    choices=["greedy", "beam"])
+    ap.add_argument("--batch", type=int, default=32, help="greedy batch")
+    ap.add_argument("--beam-n", type=int, default=8, help="beam images/call")
+    ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--top", type=int, default=20)
+    ap.add_argument("--out", default=os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "benchmarks", "serving_hlo_profile.json"))
+    args = ap.parse_args()
+
+    from imagecaptioner_tpu.core.runtime import enable_compile_cache
+
+    enable_compile_cache()
+
+    import jax
+    import jax.numpy as jnp
+
+    from imagecaptioner_tpu.core import precision as P
+    from imagecaptioner_tpu.core import profiling
+    from imagecaptioner_tpu.core.config import (TeacherConfig,
+                                                full_student_config)
+    from imagecaptioner_tpu.models import student as SM
+    from imagecaptioner_tpu.models import teacher as TM
+    from imagecaptioner_tpu.ops import decode as D
+
+    V, MAX_LEN = 2994, 20
+    out = {}
+
+    if "greedy" in args.which:
+        B = args.batch
+        cfg = full_student_config(V, dropout=0.0)
+        params, state = SM.student_init(jax.random.PRNGKey(0), cfg)
+        params = P.bf16_compute(params)
+
+        @jax.jit
+        def caption(images):
+            _, refined, _ = SM.encode_image(params, state, images, cfg,
+                                            train=False)
+            return D.best_greedy_decode_student(params, refined, cfg,
+                                                max_length=MAX_LEN)
+
+        def mk(i):
+            return jax.random.normal(jax.random.PRNGKey(i),
+                                     (B, 3, 224, 224), jnp.bfloat16)
+
+        prof = profiling.profile_device(caption, mk, runs=args.runs)
+        tot = sum(r["dur_us"] for r in prof["rows"]) / args.runs
+        print(f"\ngreedy B={B}: {tot/1e3:.3f} ms/call device "
+              f"= {B/(tot/1e6):,.0f} img/s device-rate")
+        print(profiling.top_table(prof["by_category"], "category", 12, tot))
+        print(profiling.top_table(prof["by_source"], "source", args.top,
+                                  tot))
+        out["greedy"] = {
+            "batch": B, "device_ms_per_call": tot / 1e3,
+            "device_images_per_sec": B / (tot / 1e6),
+            "by_category": prof["by_category"],
+            "by_source": prof["by_source"][:args.top],
+        }
+
+    if "beam" in args.which:
+        N = args.beam_n
+        cfg = TeacherConfig(vocab_size=V)
+        params = P.bf16_compute(TM.teacher_init(jax.random.PRNGKey(0), cfg))
+
+        @jax.jit
+        def beam(imgs):
+            memory = TM.encode_image(params, imgs, cfg)
+            return D.beam_search_teacher_packed(params, memory, cfg,
+                                                max_length=MAX_LEN,
+                                                beam_size=5)[0]
+
+        def mk(i):
+            return jax.random.normal(jax.random.PRNGKey(i),
+                                     (N, 3, 224, 224), jnp.bfloat16)
+
+        prof = profiling.profile_device(beam, mk, runs=args.runs)
+        tot = sum(r["dur_us"] for r in prof["rows"]) / args.runs
+        print(f"\npacked beam N={N}: {tot/1e3:.3f} ms/call device "
+              f"= {N/(tot/1e6):,.0f} img/s device-rate")
+        print(profiling.top_table(prof["by_category"], "category", 12, tot))
+        print(profiling.top_table(prof["by_source"], "source", args.top,
+                                  tot))
+        out["beam"] = {
+            "images_per_call": N, "device_ms_per_call": tot / 1e3,
+            "device_images_per_sec": N / (tot / 1e6),
+            "by_category": prof["by_category"],
+            "by_source": prof["by_source"][:args.top],
+        }
+
+    with open(args.out, "w") as f:
+        json.dump(out, f, indent=2)
+    print(f"\nwrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -449,6 +449,15 @@ def config_4():
         for b in (64, 128):
             out[f"pallas_streamed_b{b}"] = run_impl_streamed(
                 "pallas", k_steps=4, batch=b)
+        # deeper stream (k=32): recorded for honesty — it is SLOWER than
+        # k=8. Per-HLO profiling shows scan-chaining itself costs ~66% on
+        # device (un-chained step 4.67 ms, in-chain 7.75 ms/step: carry
+        # copies + reduced weight prefetch inside the while body, growing
+        # with k; benchmarks/kd_step_hlo_profile.json + docs/round3_notes).
+        # The chain exists only to amortize THIS RIG's 20-130 ms dispatch
+        # floor; a real deployment dispatches un-chained at 4.67 ms/step.
+        out["pallas_streamed_k32"] = run_impl_streamed(
+            "pallas", k_steps=32, n_calls=2)
     best = out.get("pallas_streamed", out.get("pallas", out["scan"]))
     out.update({k: best[k] for k in
                 ("p50_latency_s", "steps_per_sec", "images_per_sec")})

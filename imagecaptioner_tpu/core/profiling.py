@@ -78,6 +78,7 @@ def profile_device(fn: Callable[[Any], Any], make_input: Callable[[int], Any],
     events = _load_trace_events(tdir)
     dev = _device_pids(events)
     rows = []
+    program_us = 0.0
     for e in events:
         if e.get("ph") != "X" or e.get("pid") not in dev:
             continue
@@ -85,7 +86,21 @@ def profile_device(fn: Callable[[Any], Any], make_input: Callable[[int], Any],
         if "device_duration_ps" not in args:
             continue  # queue/launch markers
         if "hlo_category" not in args:
-            continue  # whole-program envelope (jit_<fn>) — double-counts
+            # whole-program envelope (jit_<fn>): the ground-truth total —
+            # per-HLO rows can overcount when a control-flow op (while)
+            # reports a duration covering its own body's events.  The
+            # device lane also carries numeric-named step-group markers
+            # ("0", "1", ...) that duplicate the program duration — count
+            # only the jit_* envelopes.
+            if e.get("name", "").startswith("jit"):
+                program_us += int(args["device_duration_ps"]) / 1e6
+            continue
+        if args.get("hlo_category") in ("while", "conditional"):
+            # control-flow envelopes also cover their body's events (the
+            # lax.scan `while` reported 2.49 ms over a body whose fusions
+            # appear separately) — dropping them keeps the row sum equal to
+            # the program envelope; loop overhead = envelope - sum(rows).
+            continue
         rows.append({
             "name": e.get("name", ""),
             "dur_us": int(args["device_duration_ps"]) / 1e6,
@@ -97,6 +112,7 @@ def profile_device(fn: Callable[[Any], Any], make_input: Callable[[int], Any],
             "source": args.get("source", ""),
         })
     return {"rows": rows, "runs": runs, "trace_dir": tdir,
+            "program_us_per_run": program_us / max(runs, 1),
             "by_name": aggregate(rows, "name", runs),
             "by_category": aggregate(rows, "category", runs),
             "by_source": aggregate(rows, "source", runs)}

@@ -96,7 +96,9 @@ def main():
         return one_step(state, teacher_params, *x)
 
     prof = profiling.profile_device(fn, mk, runs=args.runs)
-    total_us = sum(r["dur_us"] for r in prof["rows"]) / args.runs
+    # program envelope = ground truth (row sum misses control-flow self time)
+    total_us = (prof["program_us_per_run"]
+                or sum(r["dur_us"] for r in prof["rows"]) / args.runs)
     print(f"\nKD step device time: {total_us/1e3:.3f} ms "
           f"(batch {B}, {args.decoder_impl}, teacher_bf16={args.teacher_bf16})")
     print("\n== by HLO category ==")

@@ -73,7 +73,8 @@ def main():
                                      (B, 3, 224, 224), jnp.bfloat16)
 
         prof = profiling.profile_device(caption, mk, runs=args.runs)
-        tot = sum(r["dur_us"] for r in prof["rows"]) / args.runs
+        tot = (prof["program_us_per_run"]
+               or sum(r["dur_us"] for r in prof["rows"]) / args.runs)
         print(f"\ngreedy B={B}: {tot/1e3:.3f} ms/call device "
               f"= {B/(tot/1e6):,.0f} img/s device-rate")
         print(profiling.top_table(prof["by_category"], "category", 12, tot))
@@ -103,7 +104,8 @@ def main():
                                      (N, 3, 224, 224), jnp.bfloat16)
 
         prof = profiling.profile_device(beam, mk, runs=args.runs)
-        tot = sum(r["dur_us"] for r in prof["rows"]) / args.runs
+        tot = (prof["program_us_per_run"]
+               or sum(r["dur_us"] for r in prof["rows"]) / args.runs)
         print(f"\npacked beam N={N}: {tot/1e3:.3f} ms/call device "
               f"= {N/(tot/1e6):,.0f} img/s device-rate")
         print(profiling.top_table(prof["by_category"], "category", 12, tot))

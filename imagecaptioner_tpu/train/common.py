@@ -10,6 +10,21 @@ from typing import Dict, Iterator, List, Optional
 import numpy as np
 
 
+def flatten_step_metrics(fetched: List[Dict]) -> List[Dict]:
+    """Normalize a mix of scalar metric dicts (one per step) and stacked
+    metric dicts ((k,) arrays from a chained device-data dispatch,
+    steps.make_device_data_step) into one flat per-step list."""
+    out: List[Dict] = []
+    for m in fetched:
+        v0 = next(iter(m.values()))
+        if np.ndim(v0) == 1:
+            out.extend({k: v[i] for k, v in m.items()}
+                       for i in range(len(v0)))
+        else:
+            out.append(m)
+    return out
+
+
 def stacked_batches(loader, accumulation_steps: int, *, mesh=None,
                     prefetch: int = 2) -> Iterator[Dict]:
     """Group loader batches into stacks of ``A`` for in-step accumulation.

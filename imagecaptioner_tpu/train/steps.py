@@ -368,6 +368,46 @@ def make_kd_train_step(
     return step
 
 
+def make_device_data_step(train_step, chain_steps: int = 1):
+    """Wrap a KD train step to source batches from a DEVICE-RESIDENT
+    dataset (data/device_cache.DeviceDataset) and to chain ``chain_steps``
+    sequential optimizer steps inside ONE dispatch.
+
+    The returned step takes ``(state, teacher_params, data, idx_k,
+    sched_t0, dsched, epoch, rng)`` where ``data`` is the DeviceDataset
+    ``arrays`` dict (passed as arguments — already on device, so this is
+    free) and ``idx_k`` is a (chain_steps, A, B) int32 row-index array —
+    the only per-dispatch host->device traffic.  Per-step ``sched_t`` is
+    ``sched_t0 + i * dsched``; the rng is split per chained step.  Returns
+    ``(state, metrics)`` with every metric stacked (chain_steps,) on the
+    leading axis.
+
+    Why: the step is ~5 ms of device time, but a host loader pays a batch
+    upload plus a dispatch per step every epoch.  With the dataset in HBM
+    an epoch collapses to a handful of dispatches moving a few hundred
+    index bytes each (see data/device_cache.py)."""
+    from imagecaptioner_tpu.data.device_cache import gather_batch
+
+    K = max(1, chain_steps)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def chained(state, teacher_params, data, idx_k, sched_t0, dsched,
+                epoch, rng):
+        keys = jax.random.split(rng, K)
+        ts = sched_t0 + dsched * jnp.arange(K, dtype=jnp.float32)
+
+        def body(carry, xs):
+            idx, key, t = xs
+            carry, m = train_step(carry, teacher_params,
+                                  gather_batch(data, idx), t, epoch, key)
+            return carry, m
+
+        state, ms = jax.lax.scan(body, state, (idx_k, keys, ts))
+        return state, ms
+
+    return chained
+
+
 def make_kd_eval_step(
     t_cfg: TeacherConfig, s_cfg: StudentConfig, d_cfg: DistillConfig, *,
     compute_dtype=jnp.float32, optimized: bool = False,

@@ -100,6 +100,8 @@ def train_student_with_kd(
     freeze_backbone: bool = True,
     use_attention_refinement: bool = True,
     aug=None,
+    device_dataset: bool = False,
+    stream_steps: int = 8,
     verbose: bool = True,
 ):
     tr = train_cfg or KDTrainConfig()
@@ -188,6 +190,28 @@ def train_student_with_kd(
     vocab.save(os.path.join(output_dir, "vocab.json"))
 
     steps_per_epoch = max(len(train_loader) // tr.accumulation_steps, 1)
+
+    # Device-resident dataset (data/device_cache.py): decode + upload the
+    # whole training set ONCE, gather batches in-graph, and chain
+    # ``stream_steps`` optimizer steps per dispatch — an epoch becomes a
+    # handful of dispatches moving only index bytes.  Single-process /
+    # single-device (under DP the per-host loader assembles global batches).
+    device_data = None
+    if device_dataset:
+        if mesh is not None or jax.process_count() > 1:
+            raise ValueError(
+                "device_dataset=True supports single-process single-device "
+                "training; disable data_parallel or use the host loader")
+        from imagecaptioner_tpu.data.device_cache import DeviceDataset
+
+        device_data = DeviceDataset(dataset, max_caption_len=max_caption_len)
+        device_data.seed(seed)
+        dd_step = steps.make_device_data_step(train_step, stream_steps)
+        dd_step1 = (dd_step if stream_steps == 1
+                    else steps.make_device_data_step(train_step, 1))
+        if verbose:
+            print(f"[device-data] {device_data.n} rows resident on device; "
+                  f"{stream_steps} chained steps/dispatch")
     stopper = common.EarlyStopping(tr.patience, mode="min")
     train_losses, val_losses, val_bleu_scores = [], [], []
     loss_components_history = defaultdict(list)
@@ -223,23 +247,56 @@ def train_student_with_kd(
     for epoch in range(start_epoch, tr.num_epochs):
         step_metrics = []  # device arrays; one host fetch per epoch
         nb = 0
-        for idx, stacked in enumerate(
-                common.stacked_batches(train_loader, tr.accumulation_steps,
-                                       mesh=mesh)):
-            if max_steps_per_epoch is not None and idx >= max_steps_per_epoch:
-                break
-            sched_t = jnp.float32(epoch + idx / steps_per_epoch)
-            key, k_step = jax.random.split(key)
-            with common.step_context(mesh):
-                state, metrics = train_step(state, teacher_params, stacked,
-                                            sched_t, jnp.int32(epoch), k_step)
-            step_metrics.append(metrics)
-            nb += 1
-            if verbose and idx % 50 == 0:  # sync only at log boundaries
-                m = jax.device_get(metrics)
-                common.log_progress(epoch, idx, m, float(m["lr"]),
-                                    steps_per_epoch)
-        fetched = jax.device_get(step_metrics)
+        if device_data is not None:
+            idx_all = device_data.epoch_indices(
+                batch_size=train_loader.batch_size,
+                accumulation_steps=tr.accumulation_steps)
+            n_steps = idx_all.shape[0]
+            if max_steps_per_epoch is not None:
+                n_steps = min(n_steps, max_steps_per_epoch)
+            dsched = jnp.float32(1.0 / steps_per_epoch)
+            s = 0
+            while s < n_steps:
+                k = min(stream_steps, n_steps - s)
+                key, k_step = jax.random.split(key)
+                sched0 = jnp.float32(epoch + s / steps_per_epoch)
+                if k == stream_steps:
+                    state, ms = dd_step(
+                        state, teacher_params, device_data.arrays,
+                        jnp.asarray(idx_all[s:s + k]), sched0, dsched,
+                        jnp.int32(epoch), k_step)
+                    step_metrics.append(ms)  # dict of (k,) arrays
+                    nb += k
+                    s += k
+                else:  # trailing partial chunk: per-step program
+                    state, ms = dd_step1(
+                        state, teacher_params, device_data.arrays,
+                        jnp.asarray(idx_all[s:s + 1]), sched0, dsched,
+                        jnp.int32(epoch), k_step)
+                    step_metrics.append(ms)
+                    nb += 1
+                    s += 1
+        else:
+            for idx, stacked in enumerate(
+                    common.stacked_batches(train_loader,
+                                           tr.accumulation_steps,
+                                           mesh=mesh)):
+                if (max_steps_per_epoch is not None
+                        and idx >= max_steps_per_epoch):
+                    break
+                sched_t = jnp.float32(epoch + idx / steps_per_epoch)
+                key, k_step = jax.random.split(key)
+                with common.step_context(mesh):
+                    state, metrics = train_step(state, teacher_params,
+                                                stacked, sched_t,
+                                                jnp.int32(epoch), k_step)
+                step_metrics.append(metrics)
+                nb += 1
+                if verbose and idx % 50 == 0:  # sync only at log boundaries
+                    m = jax.device_get(metrics)
+                    common.log_progress(epoch, idx, m, float(m["lr"]),
+                                        steps_per_epoch)
+        fetched = common.flatten_step_metrics(jax.device_get(step_metrics))
         for si, m in enumerate(fetched):
             mlog.log_step(epoch * steps_per_epoch + si, m, epoch=epoch)
         epoch_losses = [float(m["total_loss"]) for m in fetched]
@@ -318,6 +375,13 @@ def main():
     ap.add_argument("--epochs", type=int, default=None)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--resume-from", default=None)
+    ap.add_argument("--device-dataset", action="store_true",
+                    help="decode+upload the whole training set to HBM once "
+                         "and batch in-graph (single device; see "
+                         "data/device_cache.py)")
+    ap.add_argument("--stream-steps", type=int, default=8,
+                    help="with --device-dataset: optimizer steps chained "
+                         "per dispatch")
     args = ap.parse_args()
     from imagecaptioner_tpu.core.runtime import enable_compile_cache
 
@@ -325,7 +389,9 @@ def main():
     train_student_with_kd(
         args.data_root, args.captions_file, args.teacher_checkpoint,
         args.output_dir, num_epochs=args.epochs, seed=args.seed,
-        resume_from=args.resume_from)
+        resume_from=args.resume_from,
+        device_dataset=args.device_dataset, stream_steps=args.stream_steps,
+        data_parallel=not args.device_dataset)
 
 
 if __name__ == "__main__":

@@ -52,6 +52,8 @@ def train_student_with_kd_optimized(
     max_steps_per_epoch: Optional[int] = None,
     data_parallel: bool = True,
     resume_from: Optional[str] = None,
+    device_dataset: bool = False,
+    stream_steps: int = 8,
     verbose: bool = True,
 ):
     tr = train_cfg or OptimizedKDTrainConfig()
@@ -157,6 +159,26 @@ def train_student_with_kd_optimized(
     os.makedirs(output_dir, exist_ok=True)
     vocab.save(os.path.join(output_dir, "vocab.json"))
 
+    # Device-resident dataset (data/device_cache.py): the 256px host rows
+    # live in HBM; the in-step RandomCrop(224)+augment runs on device either
+    # way, so batches are bit-identical to the host loader's.
+    device_data = None
+    if device_dataset:
+        if mesh is not None or jax.process_count() > 1:
+            raise ValueError(
+                "device_dataset=True supports single-process single-device "
+                "training; disable data_parallel or use the host loader")
+        from imagecaptioner_tpu.data.device_cache import DeviceDataset
+
+        device_data = DeviceDataset(dataset, max_caption_len=max_caption_len)
+        device_data.seed(seed)
+        dd_step = steps.make_device_data_step(train_step, stream_steps)
+        dd_step1 = (dd_step if stream_steps == 1
+                    else steps.make_device_data_step(train_step, 1))
+        if verbose:
+            print(f"[device-data] {device_data.n} rows resident on device; "
+                  f"{stream_steps} chained steps/dispatch")
+
     stopper = common.EarlyStopping(tr.patience, mode="min")
     train_losses, val_losses, val_bleu_scores, epoch_times = [], [], [], []
     loss_components_history = defaultdict(list)
@@ -219,20 +241,48 @@ def train_student_with_kd_optimized(
         ep_timer = common.Timer()
         step_metrics = []  # device arrays; one host fetch per epoch
         nb = 0
-        for idx, stacked in enumerate(
-                common.stacked_batches(train_loader, tr.accumulation_steps,
-                                       mesh=mesh)):
-            if max_steps_per_epoch is not None and idx >= max_steps_per_epoch:
-                break
-            key, k_step = jax.random.split(key)
-            with common.step_context(mesh):
-                state, metrics = train_step(state, teacher_params, stacked,
-                                            jnp.float32(global_step),
-                                            jnp.int32(epoch), k_step)
-            global_step += 1
-            step_metrics.append(metrics)
-            nb += 1
-        fetched = jax.device_get(step_metrics)
+        if device_data is not None:
+            idx_all = device_data.epoch_indices(
+                batch_size=train_loader.batch_size,
+                accumulation_steps=tr.accumulation_steps)
+            n_steps = idx_all.shape[0]
+            if max_steps_per_epoch is not None:
+                n_steps = min(n_steps, max_steps_per_epoch)
+            s = 0
+            while s < n_steps:
+                k = min(stream_steps, n_steps - s)
+                key, k_step = jax.random.split(key)
+                # OneCycle is stepped per optimizer update: sched_t is the
+                # global step counter, advancing by 1 inside the chain
+                step_fn, span = (dd_step, stream_steps) if k == stream_steps \
+                    else (dd_step1, 1)
+                state, ms = step_fn(
+                    state, teacher_params, device_data.arrays,
+                    jnp.asarray(idx_all[s:s + span]),
+                    jnp.float32(global_step), jnp.float32(1.0),
+                    jnp.int32(epoch), k_step)
+                step_metrics.append(ms)
+                global_step += span
+                nb += span
+                s += span
+        else:
+            for idx, stacked in enumerate(
+                    common.stacked_batches(train_loader,
+                                           tr.accumulation_steps,
+                                           mesh=mesh)):
+                if (max_steps_per_epoch is not None
+                        and idx >= max_steps_per_epoch):
+                    break
+                key, k_step = jax.random.split(key)
+                with common.step_context(mesh):
+                    state, metrics = train_step(state, teacher_params,
+                                                stacked,
+                                                jnp.float32(global_step),
+                                                jnp.int32(epoch), k_step)
+                global_step += 1
+                step_metrics.append(metrics)
+                nb += 1
+        fetched = common.flatten_step_metrics(jax.device_get(step_metrics))
         epoch_losses = [float(m["total_loss"]) for m in fetched]
         epoch_components = defaultdict(float)
         for m in fetched:
@@ -298,6 +348,13 @@ def main():
     ap.add_argument("--epochs", type=int, default=None)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--resume-from", default=None)
+    ap.add_argument("--device-dataset", action="store_true",
+                    help="decode+upload the whole training set to HBM once "
+                         "and batch in-graph (single device; see "
+                         "data/device_cache.py)")
+    ap.add_argument("--stream-steps", type=int, default=8,
+                    help="with --device-dataset: optimizer steps chained "
+                         "per dispatch")
     args = ap.parse_args()
     from imagecaptioner_tpu.core.runtime import enable_compile_cache
 
@@ -305,7 +362,9 @@ def main():
     train_student_with_kd_optimized(
         args.data_root, args.captions_file, args.teacher_checkpoint,
         args.output_dir, num_epochs=args.epochs, seed=args.seed,
-        resume_from=args.resume_from)
+        resume_from=args.resume_from,
+        device_dataset=args.device_dataset, stream_steps=args.stream_steps,
+        data_parallel=not args.device_dataset)
 
 
 if __name__ == "__main__":

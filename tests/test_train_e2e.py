@@ -132,6 +132,31 @@ def test_kd_student_generates_captions(kd_run):
     assert isinstance(caption, str)
 
 
+def test_kd_training_device_dataset(teacher_run):
+    """KD training with the whole dataset device-resident and 2 chained
+    steps per dispatch (data/device_cache.py): runs end-to-end, writes the
+    same artifacts, finite losses, one metric entry per optimizer step."""
+    from imagecaptioner_tpu.train.train_student_kd import train_student_with_kd
+
+    workdir, out, *_ = teacher_run
+    out2 = str(workdir / "devdata_models")
+    state, s_cfg, vocab = train_student_with_kd(
+        data_root=str(workdir / "data"),
+        teacher_checkpoint=f"{out}/best_teacher_model.npz",
+        output_dir=out2,
+        train_cfg=KDTrainConfig(batch_size=8, accumulation_steps=2,
+                                num_epochs=1, validate_every=1),
+        image_size=64, max_caption_len=16, compute_dtype=jnp.float32,
+        data_parallel=False, device_dataset=True, stream_steps=2,
+        verbose=False)
+    assert os.path.exists(f"{out2}/best_student_model.npz")
+    hist = json.load(open(f"{out2}/student_training_history.json"))
+    assert np.isfinite(hist["train_losses"]).all()
+    # 32 rows (16 images x 2 captions), batch 8, accum 2 -> 2 optimizer
+    # steps/epoch: 1 full chain of 2
+    assert len(hist["train_losses"]) == 1
+
+
 def test_optimized_kd_training(teacher_run):
     from imagecaptioner_tpu.train.train_student_kd_optimized import (
         train_student_with_kd_optimized)
@@ -153,6 +178,35 @@ def test_optimized_kd_training(teacher_run):
     ckpt = CKPT.load_checkpoint(f"{out2}/best_optimized_student_model.npz")
     assert ckpt["model_config"]["model_type"] == "compact"
     assert "training_config" in ckpt and "performance_metrics" in ckpt
+
+
+def test_optimized_kd_training_device_dataset(teacher_run):
+    """Optimized trainer with the device-resident dataset: 4 optimizer
+    steps/epoch with stream_steps=3 exercises both the full chain and the
+    trailing per-step program; OneCycle global_step advances inside the
+    chain."""
+    from imagecaptioner_tpu.train.train_student_kd_optimized import (
+        train_student_with_kd_optimized)
+
+    workdir, out, *_ = teacher_run
+    out2 = str(workdir / "opt_devdata_models")
+    state, s_cfg, vocab = train_student_with_kd_optimized(
+        data_root=str(workdir / "data"),
+        teacher_checkpoint=f"{out}/best_teacher_model.npz",
+        output_dir=out2,
+        train_cfg=OptimizedKDTrainConfig(batch_size=8, accumulation_steps=1,
+                                         num_epochs=1),
+        image_size=64, max_caption_len=16, compute_dtype=jnp.float32,
+        data_parallel=False, device_dataset=True, stream_steps=3,
+        verbose=False)
+    assert os.path.exists(f"{out2}/best_optimized_student_model.npz")
+    hist = json.load(open(f"{out2}/optimized_training_history.json"))
+    assert len(hist["epoch_times"]) == 1
+    assert np.isfinite(hist["train_losses"]).all()
+    assert "kd_loss" in hist["loss_components"]
+    ckpt = CKPT.load_checkpoint(f"{out2}/best_optimized_student_model.npz")
+    # 32 rows / batch 8 = 4 optimizer steps ran (one 3-chain + one single)
+    assert int(ckpt["scheduler_state_dict"]["global_step"]) == 4
 
 
 def test_checkpoint_roundtrip_exact():

@@ -39,7 +39,7 @@ def _default_budget() -> int:
 
 
 class DeviceDataset:
-    """Uploads a whole :class:`CaptionDataset` to the default device.
+    """Uploads a whole :class:`CaptionDataset` to device HBM.
 
     ``arrays`` (pass these as jit ARGUMENTS, never close over them — a
     captured array is embedded into the compiled program as a constant):
@@ -48,15 +48,22 @@ class DeviceDataset:
     - ``captions`` (N, T) int32, PAD-padded
     - ``lengths``  (N,) int32
 
-    Single-process, single-logical-device: under a DP mesh the batch is
-    assembled per-host from host-local shards (train/common.py) — keep the
-    host loader there.
+    With a ``mesh`` the rows are placed REPLICATED over it: each device
+    gathers the full global batch in-graph and the train step's sharding
+    constraints (gather_batch ``mesh`` arg) slice its data-parallel shard —
+    batch composition stays bit-identical to the single-device and host
+    loaders under any device count.  Replication is deliberate: the row
+    gather is random-access over the whole epoch, and these datasets are
+    small (budget-gated — Flickr8k at 224px is ~1.2 GB vs 16 GB of HBM per
+    chip).  Row-sharded storage would trade that HBM for an all-gather per
+    step.  Single-process only either way; the multi-HOST path is the
+    host-sharded BatchLoader (train/common.py).
     """
 
     def __init__(self, dataset: CaptionDataset, *,
                  max_caption_len: int = 48,
                  byte_budget: Optional[int] = None,
-                 num_workers: int = 8):
+                 num_workers: int = 8, mesh=None):
         import jax
 
         n = len(dataset)
@@ -91,10 +98,17 @@ class DeviceDataset:
 
         self.n = n
         self.max_caption_len = max_caption_len
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            put = lambda x: jax.device_put(  # noqa: E731 — replicated
+                x, NamedSharding(mesh, PartitionSpec()))
+        else:
+            put = jax.device_put
         self.arrays: Dict = {
-            "images": jax.device_put(imgs),
-            "captions": jax.device_put(caps),
-            "lengths": jax.device_put(lens),
+            "images": put(imgs),
+            "captions": put(caps),
+            "lengths": put(lens),
         }
         self._rng = np.random.default_rng(0)
 
@@ -129,14 +143,19 @@ class DeviceDataset:
         return used.reshape(steps, a, bs).astype(np.int32)
 
 
-def gather_batch(arrays: Dict, idx):
+def gather_batch(arrays: Dict, idx, mesh=None):
     """In-graph batch assembly: idx (A, B) int32 -> the exact batch dict a
     host BatchLoader stack would have produced ((A,B,H,W,3) uint8 images,
     (A, T, B) captions, (A, B) lengths).
 
     Rows gather on the LEADING axis — the layout XLA gathers efficiently
     on TPU (a non-leading-axis gather runs row-at-a-time; see
-    ops/decode._permute_kv_rows for the measured pathology)."""
+    scripts/bench_beam_ablate.py for the measured pathology).
+
+    With a ``mesh``, the assembled batch is constrained to the same
+    shardings the host loader path uses (batch axis over 'data',
+    train/common.put_global_batch) so the downstream train step runs data
+    parallel; the dataset rows themselves stay replicated."""
     import jax.numpy as jnp
 
     flat = idx.reshape(-1)
@@ -144,8 +163,20 @@ def gather_batch(arrays: Dict, idx):
     imgs = jnp.take(arrays["images"], flat, axis=0)
     caps = jnp.take(arrays["captions"], flat, axis=0)  # (A*B, T)
     lens = jnp.take(arrays["lengths"], flat, axis=0)
-    return {
+    batch = {
         "images": imgs.reshape((a, b) + imgs.shape[1:]),
         "captions": caps.reshape(a, b, -1).transpose(0, 2, 1),  # (A, T, B)
         "lengths": lens.reshape(a, b),
     }
+    if mesh is not None:
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        cons = lambda x, spec: jax.lax.with_sharding_constraint(  # noqa: E731
+            x, NamedSharding(mesh, P(*spec)))
+        batch = {
+            "images": cons(batch["images"], (None, "data")),
+            "captions": cons(batch["captions"], (None, None, "data")),
+            "lengths": cons(batch["lengths"], (None, "data")),
+        }
+    return batch

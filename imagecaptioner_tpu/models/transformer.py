@@ -84,9 +84,30 @@ def decoder_apply(
 
 
 def init_kv_cache(num_layers: int, batch: int, max_len: int, d_model: int,
-                  dtype=jnp.float32) -> Params:
-    z = jnp.zeros((num_layers, batch, max_len, d_model), dtype)
-    return {"k": z, "v": z}
+                  dtype=jnp.float32, *, num_heads: int = 1) -> List[Params]:
+    """Per-layer list of {'k','v'} buffers, each SEQ-LEADING
+    (max_len, batch, d_model).  (``num_heads`` is accepted for call-site
+    symmetry but the layout no longer depends on it.)
+
+    Two deliberate layout choices, both from per-HLO profiles of the packed
+    beam (benchmarks/serving_hlo_profile.json):
+
+    * a per-layer LIST, not a stacked (L, B, S, E) array — updating layer
+      ``li`` of a stack with ``at[li].set`` copies the WHOLE stack every
+      layer of every decode step (313 us of the 3.76 ms call);
+    * SEQ-LEADING (S, B, E): the per-step row write is a
+      dynamic_update_slice at a LEADING index — one contiguous B*E write
+      XLA can apply in place in the while body.  Layouts with the position
+      axis inside the tiled minor dims turned every write into a strided
+      sublane update (head-major (B, H, S, hd) measured 2 x 1.6 ms per
+      packed-beam call at 16 GB/s), and (B, S, E) into a full-cache
+      copy+update.  The attention over the cache runs in a Pallas kernel
+      (ops/pallas_beam_attn.py) that slices heads out of the E axis
+      in-VMEM; the (E-minor) blocks also DMA unpadded, unlike hd=64-minor
+      layouts which pad every transfer 2-3x."""
+    return [{"k": jnp.zeros((max_len, batch, d_model), dtype),
+             "v": jnp.zeros((max_len, batch, d_model), dtype)}
+            for _ in range(num_layers)]
 
 
 def _attend(q, k, v, num_heads: int, mask=None):
@@ -98,6 +119,29 @@ def _attend(q, k, v, num_heads: int, mask=None):
         return t.reshape(b, t.shape[1], num_heads, hd).transpose(0, 2, 1, 3)
 
     qh, kh, vh = split(q), split(k), split(v)
+    logits = jnp.einsum("bhqd,bhkd->bhqk", qh, kh,
+                        preferred_element_type=jnp.float32) / jnp.sqrt(
+                            jnp.float32(hd))
+    if mask is not None:
+        logits = jnp.where(mask, -jnp.inf, logits)
+    w = jax.nn.softmax(logits, axis=-1).astype(vh.dtype)
+    out = jnp.einsum("bhqk,bhkd->bhqd", w, vh,
+                     preferred_element_type=jnp.float32).astype(vh.dtype)
+    return out.transpose(0, 2, 1, 3).reshape(b, lq, e)
+
+
+def _attend_sl(q, k, v, num_heads: int, mask=None):
+    """Attention of a few query rows over a SEQ-LEADING (S, B, E) cache —
+    the XLA fallback path (CPU tests / over-VMEM shapes); the TPU serving
+    path is the fused kernel (ops/pallas_beam_attn.py).
+
+    q (B, Lq, E) with small Lq; k/v (S, B, E)."""
+    b, lq, e = q.shape
+    hd = e // num_heads
+    S = k.shape[0]
+    qh = q.reshape(b, lq, num_heads, hd).transpose(0, 2, 1, 3)
+    kh = k.reshape(S, b, num_heads, hd).transpose(1, 2, 0, 3)  # (B,H,S,hd)
+    vh = v.reshape(S, b, num_heads, hd).transpose(1, 2, 0, 3)
     logits = jnp.einsum("bhqd,bhkd->bhqk", qh, kh,
                         preferred_element_type=jnp.float32) / jnp.sqrt(
                             jnp.float32(hd))
@@ -135,9 +179,13 @@ def _proj_q(p_mha, x):
             + b_q).astype(x.dtype)
 
 
-def precompute_memory_kv(layers: List[Params], memory: jnp.ndarray) -> List[Params]:
+def precompute_memory_kv(layers: List[Params], memory: jnp.ndarray, *,
+                         num_heads: int = 1) -> List[Params]:
     """Cross-attention K/V depend only on encoder memory — computed once per
-    decode instead of once per step."""
+    decode instead of once per step.  Stored plain (B, L, E): the fused
+    cross-attention kernel slices heads out of the E axis in VMEM
+    (E-minor blocks DMA unpadded), and the XLA fallback head-splits per
+    step.  ``num_heads`` is accepted for call-site symmetry."""
     cached = []
     for p in layers:
         _, k, v = _proj_qkv(p["multihead_attn"], memory)
@@ -145,14 +193,64 @@ def precompute_memory_kv(layers: List[Params], memory: jnp.ndarray) -> List[Para
     return cached
 
 
+def _attend_anc(q, k, v, anc_hot, num_heads: int, causal):
+    """Ancestry-select self-attention for beam decode without cache reorder.
+
+    The KV cache stores each position's rows under the beam SLOT that wrote
+    them; ``anc_hot`` (N, K, S, K) one-hot maps (beam i, position s) -> the
+    slot j whose entry belongs to beam i's lineage.  Scores are computed
+    against ALL slots of the same image (K-fold more MXU flops — negligible:
+    the step is HBM-bound on reading the cache once either way) and the
+    lineage entry is selected with an exact elementwise multiply-reduce, so
+    every selected logit is bitwise the logit the physically-reordered cache
+    would produce.  This removes the per-step permutation matmul
+    (the one-hot permutation matmuls the beam searches used before
+    this) — a full cache read+write each
+    step, 9% of the packed beam call — and lets the position write be the
+    only cache mutation, which XLA aliases in place in the while body.
+
+    q (R, 1, E); k/v SEQ-LEADING (S, R, E) with R = N*K; causal
+    (1, 1, 1, S) bool.  Returns (R, 1, E).
+    """
+    r, _, e = q.shape
+    hd = e // num_heads
+    N, K, S, _ = anc_hot.shape
+    qh = q.reshape(N, K, num_heads, hd)
+    kh = k.reshape(S, N, K, num_heads, hd)
+    vh = v.reshape(S, N, K, num_heads, hd)
+    # all-pairs scores: beam i's query vs every slot j's entry at each s.
+    # precision pinned: this 5-D einsum is otherwise lowered with
+    # bf16-truncated multiplies even for f32 operands (measured 7.5e-3
+    # error vs a f64 oracle on CPU — the plain 4-D attend einsum is exact),
+    # which would shift beam scores vs the physically-reordered path
+    s_all = jnp.einsum("nihd,snjhd->nhijs", qh, kh,
+                       preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST) / jnp.sqrt(
+                           jnp.float32(hd))
+    # joint softmax over (slot, position) with non-lineage and future
+    # entries at -inf: exp(-inf) = 0 exactly, so the weights (and their
+    # normalizer) are identical to a softmax over the selected lineage
+    # row — no separate select or re-scatter step needed
+    live = (anc_hot.astype(bool).transpose(0, 1, 3, 2)[:, None]  # (N,1,K,K,S)
+            & ~causal[..., None, :])
+    logits = jnp.where(live, s_all, -jnp.inf)
+    w = jax.nn.softmax(logits.reshape(N, num_heads, K, K * S), axis=-1)
+    w = w.reshape(N, num_heads, K, K, S).astype(vh.dtype)
+    ctx = jnp.einsum("nhijs,snjhd->nihd", w, vh,
+                     preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST).astype(vh.dtype)
+    return ctx.reshape(r, 1, e)
+
+
 def decoder_step_cached(
     layers: List[Params], x_t: jnp.ndarray, pos: jnp.ndarray,
-    self_kv: Params, mem_kv: List[Params], *, num_heads: int,
-    mem_group: int = 1,
-) -> Tuple[jnp.ndarray, Params]:
+    self_kv: List[Params], mem_kv: List[Params], *, num_heads: int,
+    mem_group: int = 1, anc: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, List[Params]]:
     """One token through all layers with KV caching (eval mode, no dropout).
 
-    x_t (B, 1, E); pos scalar int32 index; self_kv {'k','v'}: (L, B, S, E).
+    x_t (B, 1, E); pos scalar int32 index; self_kv: per-layer list of
+    {'k','v'} seq-leading (S, B, E) buffers (see init_kv_cache).
     Returns (y (B, 1, E), updated self_kv).
 
     ``mem_group``: number of consecutive x_t rows sharing one ``mem_kv`` row
@@ -163,37 +261,80 @@ def decoder_step_cached(
     stored and read once per image instead of once per beam.  The decode
     loop is HBM-bound, and the per-beam K/V re-read each step was its
     largest term (~5x the per-image traffic at beam_size=5).
+
+    ``anc``: (N, K, S) int32 beam-ancestry table (beam search only): the
+    cache is stored un-reordered and ``anc[n, i, s]`` names the slot whose
+    position-s entry belongs to the beam currently in slot i.  See
+    :func:`_attend_anc`.
+
+    On TPU with ``anc`` the self- and cross-attention cores run as fused
+    Pallas kernels (ops/pallas_beam_attn.py); the XLA paths below are the
+    CPU/test/fallback implementation.
     """
-    max_len = self_kv["k"].shape[2]
-    new_k, new_v = self_kv["k"], self_kv["v"]
+    B, _, E = x_t.shape
+    max_len = self_kv[0]["k"].shape[0]
     # mask out self-attention positions beyond `pos`
     pos_ids = jnp.arange(max_len)[None, None, None, :]  # (1,1,1,S)
     causal = pos_ids > pos
 
+    impl = "xla"
+    if anc is not None:
+        from imagecaptioner_tpu.ops import pallas_beam_attn as BA
+
+        impl = BA.beam_attn_impl()
+        if impl != "xla":
+            try:
+                BA.check_vmem(B, anc, max_len, E, num_heads,
+                              mem_len=mem_kv[0]["k"].shape[1],
+                              itemsize=jnp.dtype(x_t.dtype).itemsize)
+            except BA.BeamAttnVmemExceeded as e:
+                import os
+
+                if os.environ.get("IC_STRICT_PALLAS") == "1":
+                    raise
+                print(f"[beam-attn] {e} — using the XLA ancestry path",
+                      flush=True)
+                impl = "xla"
+    anc_hot = (jax.nn.one_hot(anc, anc.shape[1], dtype=x_t.dtype)
+               if anc is not None and impl == "xla" else None)
+
     y = x_t
-    for li, p in enumerate(layers):
+    new_kv = []
+    for p, kv, mkv in zip(layers, self_kv, mem_kv):
         q, k_new, v_new = _proj_qkv(p["self_attn"], y)
+        # seq-leading cache: this position's rows are one contiguous
+        # leading-index write (see init_kv_cache)
         k_cache = jax.lax.dynamic_update_slice(
-            new_k[li], k_new, (0, pos, 0))
+            kv["k"], k_new.transpose(1, 0, 2), (pos, 0, 0))
         v_cache = jax.lax.dynamic_update_slice(
-            new_v[li], v_new, (0, pos, 0))
-        new_k = new_k.at[li].set(k_cache)
-        new_v = new_v.at[li].set(v_cache)
-        sa = _attend(q, k_cache, v_cache, num_heads, mask=causal)
+            kv["v"], v_new.transpose(1, 0, 2), (pos, 0, 0))
+        new_kv.append({"k": k_cache, "v": v_cache})
+        if impl != "xla":
+            sa = BA.fused_beam_self_attention(
+                q, {"k": k_cache, "v": v_cache}, anc, pos,
+                num_heads=num_heads, interpret=impl == "interpret")
+        elif anc_hot is not None:
+            sa = _attend_anc(q, k_cache, v_cache, anc_hot, num_heads, causal)
+        else:
+            sa = _attend_sl(q, k_cache, v_cache, num_heads, mask=causal)
         sa = M.dense(p["self_attn"]["out_proj"], sa)
         y = M.layer_norm(p["norm1"], y + sa)
 
         qc = _proj_q(p["multihead_attn"], y)
-        if mem_group > 1:
+        if impl != "xla":
+            ca = BA.fused_beam_cross_attention(
+                qc, mkv, mem_group=mem_group, num_heads=num_heads,
+                interpret=impl == "interpret")
+        elif mem_group > 1:
             qg = qc.reshape(-1, mem_group, qc.shape[-1])  # (N, K, E)
-            ca = _attend(qg, mem_kv[li]["k"], mem_kv[li]["v"], num_heads)
+            ca = _attend(qg, mkv["k"], mkv["v"], num_heads)
             ca = ca.reshape(qc.shape)
         else:
-            ca = _attend(qc, mem_kv[li]["k"], mem_kv[li]["v"], num_heads)
+            ca = _attend(qc, mkv["k"], mkv["v"], num_heads)
         ca = M.dense(p["multihead_attn"]["out_proj"], ca)
         y = M.layer_norm(p["norm2"], y + ca)
 
         h = jax.nn.relu(M.dense(p["linear1"], y))
         h = M.dense(p["linear2"], h)
         y = M.layer_norm(p["norm3"], y + h)
-    return y, {"k": new_k, "v": new_v}
+    return y, new_kv

@@ -190,9 +190,11 @@ def greedy_decode_teacher(
     (B, max_length) tokens (PAD after first <END>)."""
     B = memory.shape[0]
     layers = params["decoder"]
-    mem_kv = TD.precompute_memory_kv(layers, memory)
+    mem_kv = TD.precompute_memory_kv(layers, memory,
+                                     num_heads=cfg.num_heads)
     self_kv = TD.init_kv_cache(len(layers), B, max_length + 1,
-                               cfg.embed_size, memory.dtype)
+                               cfg.embed_size, memory.dtype,
+                               num_heads=cfg.num_heads)
     tok0 = jnp.full((B,), START, jnp.int32)
     done0 = jnp.zeros((B,), bool)
 
@@ -244,8 +246,10 @@ def beam_search_teacher(
     layers = params["decoder"]
     # cross-attention K/V once for the image; the K beams attend it as K
     # grouped query rows (mem_group) instead of K duplicated K/V copies
-    mem_kv = TD.precompute_memory_kv(layers, memory)
-    self_kv = TD.init_kv_cache(len(layers), K, S, cfg.embed_size, memory.dtype)
+    mem_kv = TD.precompute_memory_kv(layers, memory,
+                                     num_heads=cfg.num_heads)
+    self_kv = TD.init_kv_cache(len(layers), K, S, cfg.embed_size,
+                               memory.dtype, num_heads=cfg.num_heads)
 
     def lp(length):  # GNMT penalty, teacher_model.py:202
         if length_penalty > 0:
@@ -257,6 +261,10 @@ def beam_search_teacher(
         scores=jnp.full((K,), -jnp.inf).at[0].set(0.0),  # only beam 0 live at t=0
         n_live=jnp.int32(K),  # reference starts with beam_size live slots
         self_kv=self_kv,
+        # beam ancestry: anc[i, s] = cache slot whose position-s entry
+        # belongs to the beam now in slot i (the cache itself is never
+        # reordered — see transformer._attend_anc)
+        anc=jnp.broadcast_to(jnp.arange(K, dtype=jnp.int32)[:, None], (K, S)),
         fin_seqs=jnp.full((K, S), PAD, jnp.int32),
         fin_scores=jnp.full((K,), -jnp.inf),
         fin_lens=jnp.zeros((K,), jnp.int32),
@@ -267,9 +275,11 @@ def beam_search_teacher(
         # t = 0..max_length-1; current prefix length = t+1
         tok = state["seqs"][:, t]
         x = _teacher_embed_step(params, tok, t, cfg).astype(memory.dtype)
-        y, self_kv = TD.decoder_step_cached(layers, x, t, state["self_kv"],
-                                            mem_kv, num_heads=cfg.num_heads,
-                                            mem_group=K)
+        # this step's cache rows are written by the current slots
+        anc = state["anc"].at[:, t].set(jnp.arange(K, dtype=jnp.int32))
+        y, self_kv = TD.decoder_step_cached(
+            layers, x, t, state["self_kv"], mem_kv, num_heads=cfg.num_heads,
+            mem_group=K, anc=anc[None] if _USE_ANC else None)
         logits = _teacher_logits_step(params, y, cfg)          # (K, V)
         logp = jax.nn.log_softmax(logits, axis=-1)
         cand = state["scores"][:, None] + logp                 # dead rows -inf
@@ -279,10 +289,16 @@ def beam_search_teacher(
 
         new, origin_src = _beam_bookkeeping(
             state, top_scores, origin, token, t, lp)
-        # reorder the *updated* kv (with this step's writes) per surviving
-        # beam — permutation matmul, not gather (see _permute_kv_rows)
-        new["self_kv"] = {"k": _permute_kv_rows(self_kv["k"], origin_src),
-                          "v": _permute_kv_rows(self_kv["v"], origin_src)}
+        # surviving beams inherit their ancestor's lineage row; the KV cache
+        # itself is carried through un-reordered
+        new["anc"] = anc[origin_src]
+        if _USE_ANC:
+            new["self_kv"] = self_kv
+        else:
+            new["self_kv"] = [
+                {"k": _permute_rows_blocked(kv["k"], origin_src[None]),
+                 "v": _permute_rows_blocked(kv["v"], origin_src[None])}
+                for kv in self_kv]
         return new, None
 
     state, _ = jax.lax.scan(step, state, jnp.arange(max_length))
@@ -374,9 +390,10 @@ def beam_search_teacher_packed(
     # query rows (mem_group=K in the decode step) — duplicating them per
     # beam would 5x both the projection matmuls and, worse, the per-step
     # HBM re-read of the K/V (the decode loop's largest traffic term).
-    mem_kv = TD.precompute_memory_kv(layers, memory)
+    mem_kv = TD.precompute_memory_kv(layers, memory,
+                                     num_heads=cfg.num_heads)
     self_kv = TD.init_kv_cache(len(layers), N * K, S, cfg.embed_size,
-                               memory.dtype)
+                               memory.dtype, num_heads=cfg.num_heads)
 
     def lp(length):  # GNMT penalty, teacher_model.py:202
         if length_penalty > 0:
@@ -388,6 +405,9 @@ def beam_search_teacher_packed(
         scores=jnp.full((N, K), -jnp.inf).at[:, 0].set(0.0),
         n_live=jnp.full((N,), K, jnp.int32),
         self_kv=self_kv,
+        # per-image beam ancestry (see beam_search_teacher / _attend_anc)
+        anc=jnp.broadcast_to(jnp.arange(K, dtype=jnp.int32)[None, :, None],
+                             (N, K, S)),
         fin_seqs=jnp.full((N, K, S), PAD, jnp.int32),
         fin_scores=jnp.full((N, K), -jnp.inf),
         fin_lens=jnp.zeros((N, K), jnp.int32),
@@ -401,9 +421,10 @@ def beam_search_teacher_packed(
     def step(state, t):
         tok = state["seqs"][:, :, t].reshape(N * K)
         x = _teacher_embed_step(params, tok, t, cfg).astype(memory.dtype)
-        y, self_kv = TD.decoder_step_cached(layers, x, t, state["self_kv"],
-                                            mem_kv, num_heads=cfg.num_heads,
-                                            mem_group=K)
+        anc = state["anc"].at[:, :, t].set(jnp.arange(K, dtype=jnp.int32)[None, :])
+        y, self_kv = TD.decoder_step_cached(
+            layers, x, t, state["self_kv"], mem_kv, num_heads=cfg.num_heads,
+            mem_group=K, anc=anc if _USE_ANC else None)
         logits = _teacher_logits_step(params, y, cfg)          # (N*K, V)
         logp = jax.nn.log_softmax(logits, axis=-1).reshape(N, K, V)
         cand = state["scores"][:, :, None] + logp              # dead rows -inf
@@ -415,13 +436,20 @@ def beam_search_teacher_packed(
                       ("seqs", "scores", "n_live", "fin_seqs", "fin_scores",
                        "fin_lens", "fin_count")}
         new, origin_src = book(book_state, top_scores, origin, token, t)
-        # block-diagonal permutation matmuls reorder every image's surviving
-        # beams' caches (gather here was 70% of the whole beam step —
-        # benchmarks/beam_ablation.json); a beam never crosses images, so
-        # the contraction is K-wide per image, not (N*K)-wide globally
-        new["self_kv"] = {
-            "k": _permute_kv_rows_blocked(self_kv["k"], origin_src),
-            "v": _permute_kv_rows_blocked(self_kv["v"], origin_src)}
+        # surviving beams inherit their ancestor's lineage row (a beam never
+        # crosses images, so the gather stays inside each image's K rows);
+        # the KV cache is carried un-reordered — the per-step block-diagonal
+        # permutation matmul this replaces was a full cache read+write each
+        # step (benchmarks/serving_hlo_profile.json: 334 us of the 3.76 ms
+        # call, on top of forcing a double-buffered carry)
+        new["anc"] = jnp.take_along_axis(anc, origin_src[:, :, None], axis=1)
+        if _USE_ANC:
+            new["self_kv"] = self_kv
+        else:
+            new["self_kv"] = [
+                {"k": _permute_rows_blocked(kv["k"], origin_src),
+                 "v": _permute_rows_blocked(kv["v"], origin_src)}
+                for kv in self_kv]
         return new, None
 
     state, _ = jax.lax.scan(step, state, jnp.arange(max_length))
@@ -461,36 +489,24 @@ def beam_search_teacher_batched(
     return jax.vmap(fn)(memory)
 
 
-def _permute_kv_rows(kv, idx):
-    """Reorder the beam axis (axis 1) of a (L, B, S, E) KV cache by ``idx``
-    ((B,) int32, new row i <- old row idx[i]) via a one-hot permutation
-    matmul.  An XLA gather on a non-leading axis executes row-at-a-time on
-    TPU — measured 3.2 ms/step at B=160 vs ~0 for this contraction, which
-    runs on the MXU (benchmarks/beam_ablation.json).  Exact for a
-    permutation: each output row sums one input row scaled by 1.0 — but ONLY
-    at HIGHEST precision: the TPU MXU's default precision truncates the f32
-    KV values to bf16, which would silently shift attention scores vs the
-    gather this replaced (near-tie beam candidates could flip)."""
-    perm = jax.nn.one_hot(idx, kv.shape[1], dtype=kv.dtype)
-    return jnp.einsum("ij,ljse->lise", perm, kv,
-                      precision=jax.lax.Precision.HIGHEST)
+import os as _os
+
+# A/B experiment switch (IC_BEAM_ANC=0 -> physical per-step permute of the
+# head-major cache instead of ancestry-select attention); both paths are
+# token-identical, the winner on the chip becomes the only path.
+_USE_ANC = _os.environ.get("IC_BEAM_ANC", "1") == "1"
 
 
-def _permute_kv_rows_blocked(kv, idx):
-    """Per-image beam reorder for the packed cache: ``kv`` (L, N*K, S, E),
-    ``idx`` (N, K) with values in [0, K) indexing inside each image's K-row
-    block (image n's beams live at packed rows n*K..n*K+K-1, and a beam can
-    only descend from a beam of the SAME image).  Equivalent to flattening
-    ``idx`` into a dense (N*K)x(N*K) permutation matmul, but contracts only
-    K-wide blocks — N-fold less MXU work, and the per-step cost stays linear
-    in N instead of quadratic.  Same HIGHEST-precision requirement as
-    :func:`_permute_kv_rows`."""
-    L, R, S, E = kv.shape
+def _permute_rows_blocked(kv, idx):
+    """Per-image one-hot permutation of a per-layer seq-leading cache:
+    kv (S, N*K, E), idx (N, K) in [0, K).  HIGHEST precision — exact for
+    a permutation (default MXU precision would truncate to bf16)."""
+    S, R, E = kv.shape
     N, K = idx.shape
     perm = jax.nn.one_hot(idx, K, dtype=kv.dtype)          # (N, K, K)
-    out = jnp.einsum("nij,lnjse->lnise", perm, kv.reshape(L, N, K, S, E),
+    out = jnp.einsum("nij,snje->snie", perm, kv.reshape(S, N, K, E),
                      precision=jax.lax.Precision.HIGHEST)
-    return out.reshape(L, R, S, E)
+    return out.reshape(S, R, E)
 
 
 def _scatter_rows(buf, slot, rows, mask):

@@ -368,7 +368,7 @@ def make_kd_train_step(
     return step
 
 
-def make_device_data_step(train_step, chain_steps: int = 1):
+def make_device_data_step(train_step, chain_steps: int = 1, mesh=None):
     """Wrap a KD train step to source batches from a DEVICE-RESIDENT
     dataset (data/device_cache.DeviceDataset) and to chain ``chain_steps``
     sequential optimizer steps inside ONE dispatch.
@@ -381,6 +381,12 @@ def make_device_data_step(train_step, chain_steps: int = 1):
     ``sched_t0 + i * dsched``; the rng is split per chained step.  Returns
     ``(state, metrics)`` with every metric stacked (chain_steps,) on the
     leading axis.
+
+    With a ``mesh`` the in-graph batch is constrained batch-over-'data'
+    (exactly the host loader's put_global_batch shardings), so the chained
+    step trains data-parallel with the dataset rows replicated — the
+    device-resident pipeline composes with DP (see
+    data/device_cache.DeviceDataset).
 
     Why: the step is ~5 ms of device time, but a host loader pays a batch
     upload plus a dispatch per step every epoch.  With the dataset in HBM
@@ -399,7 +405,8 @@ def make_device_data_step(train_step, chain_steps: int = 1):
         def body(carry, xs):
             idx, key, t = xs
             carry, m = train_step(carry, teacher_params,
-                                  gather_batch(data, idx), t, epoch, key)
+                                  gather_batch(data, idx, mesh),
+                                  t, epoch, key)
             return carry, m
 
         state, ms = jax.lax.scan(body, state, (idx_k, keys, ts))

@@ -198,19 +198,21 @@ def train_student_with_kd(
     # single-device (under DP the per-host loader assembles global batches).
     device_data = None
     if device_dataset:
-        if mesh is not None or jax.process_count() > 1:
+        if jax.process_count() > 1:
             raise ValueError(
-                "device_dataset=True supports single-process single-device "
-                "training; disable data_parallel or use the host loader")
+                "device_dataset=True is single-process (rows replicate over "
+                "the local mesh); multi-host training uses the host loader")
         from imagecaptioner_tpu.data.device_cache import DeviceDataset
 
-        device_data = DeviceDataset(dataset, max_caption_len=max_caption_len)
+        device_data = DeviceDataset(dataset, max_caption_len=max_caption_len,
+                                    mesh=mesh)
         device_data.seed(seed)
-        dd_step = steps.make_device_data_step(train_step, stream_steps)
+        dd_step = steps.make_device_data_step(train_step, stream_steps, mesh)
         dd_step1 = (dd_step if stream_steps == 1
-                    else steps.make_device_data_step(train_step, 1))
+                    else steps.make_device_data_step(train_step, 1, mesh))
         if verbose:
-            print(f"[device-data] {device_data.n} rows resident on device; "
+            print(f"[device-data] {device_data.n} rows resident on device"
+                  f"{' (replicated, DP)' if mesh is not None else ''}; "
                   f"{stream_steps} chained steps/dispatch")
     stopper = common.EarlyStopping(tr.patience, mode="min")
     train_losses, val_losses, val_bleu_scores = [], [], []
@@ -261,18 +263,20 @@ def train_student_with_kd(
                 key, k_step = jax.random.split(key)
                 sched0 = jnp.float32(epoch + s / steps_per_epoch)
                 if k == stream_steps:
-                    state, ms = dd_step(
-                        state, teacher_params, device_data.arrays,
-                        jnp.asarray(idx_all[s:s + k]), sched0, dsched,
-                        jnp.int32(epoch), k_step)
+                    with common.step_context(mesh):
+                        state, ms = dd_step(
+                            state, teacher_params, device_data.arrays,
+                            jnp.asarray(idx_all[s:s + k]), sched0, dsched,
+                            jnp.int32(epoch), k_step)
                     step_metrics.append(ms)  # dict of (k,) arrays
                     nb += k
                     s += k
                 else:  # trailing partial chunk: per-step program
-                    state, ms = dd_step1(
-                        state, teacher_params, device_data.arrays,
-                        jnp.asarray(idx_all[s:s + 1]), sched0, dsched,
-                        jnp.int32(epoch), k_step)
+                    with common.step_context(mesh):
+                        state, ms = dd_step1(
+                            state, teacher_params, device_data.arrays,
+                            jnp.asarray(idx_all[s:s + 1]), sched0, dsched,
+                            jnp.int32(epoch), k_step)
                     step_metrics.append(ms)
                     nb += 1
                     s += 1
@@ -375,6 +379,10 @@ def main():
     ap.add_argument("--epochs", type=int, default=None)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--resume-from", default=None)
+    ap.add_argument("--no-data-parallel", dest="data_parallel",
+                    action="store_false",
+                    help="force single-device training even with a "
+                         "multi-device mesh available")
     ap.add_argument("--device-dataset", action="store_true",
                     help="decode+upload the whole training set to HBM once "
                          "and batch in-graph (single device; see "
@@ -391,7 +399,7 @@ def main():
         args.output_dir, num_epochs=args.epochs, seed=args.seed,
         resume_from=args.resume_from,
         device_dataset=args.device_dataset, stream_steps=args.stream_steps,
-        data_parallel=not args.device_dataset)
+        data_parallel=args.data_parallel)
 
 
 if __name__ == "__main__":

@@ -164,19 +164,21 @@ def train_student_with_kd_optimized(
     # way, so batches are bit-identical to the host loader's.
     device_data = None
     if device_dataset:
-        if mesh is not None or jax.process_count() > 1:
+        if jax.process_count() > 1:
             raise ValueError(
-                "device_dataset=True supports single-process single-device "
-                "training; disable data_parallel or use the host loader")
+                "device_dataset=True is single-process (rows replicate over "
+                "the local mesh); multi-host training uses the host loader")
         from imagecaptioner_tpu.data.device_cache import DeviceDataset
 
-        device_data = DeviceDataset(dataset, max_caption_len=max_caption_len)
+        device_data = DeviceDataset(dataset, max_caption_len=max_caption_len,
+                                    mesh=mesh)
         device_data.seed(seed)
-        dd_step = steps.make_device_data_step(train_step, stream_steps)
+        dd_step = steps.make_device_data_step(train_step, stream_steps, mesh)
         dd_step1 = (dd_step if stream_steps == 1
-                    else steps.make_device_data_step(train_step, 1))
+                    else steps.make_device_data_step(train_step, 1, mesh))
         if verbose:
-            print(f"[device-data] {device_data.n} rows resident on device; "
+            print(f"[device-data] {device_data.n} rows resident on device"
+                  f"{' (replicated, DP)' if mesh is not None else ''}; "
                   f"{stream_steps} chained steps/dispatch")
 
     stopper = common.EarlyStopping(tr.patience, mode="min")
@@ -256,11 +258,12 @@ def train_student_with_kd_optimized(
                 # global step counter, advancing by 1 inside the chain
                 step_fn, span = (dd_step, stream_steps) if k == stream_steps \
                     else (dd_step1, 1)
-                state, ms = step_fn(
-                    state, teacher_params, device_data.arrays,
-                    jnp.asarray(idx_all[s:s + span]),
-                    jnp.float32(global_step), jnp.float32(1.0),
-                    jnp.int32(epoch), k_step)
+                with common.step_context(mesh):
+                    state, ms = step_fn(
+                        state, teacher_params, device_data.arrays,
+                        jnp.asarray(idx_all[s:s + span]),
+                        jnp.float32(global_step), jnp.float32(1.0),
+                        jnp.int32(epoch), k_step)
                 step_metrics.append(ms)
                 global_step += span
                 nb += span
@@ -348,6 +351,10 @@ def main():
     ap.add_argument("--epochs", type=int, default=None)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--resume-from", default=None)
+    ap.add_argument("--no-data-parallel", dest="data_parallel",
+                    action="store_false",
+                    help="force single-device training even with a "
+                         "multi-device mesh available")
     ap.add_argument("--device-dataset", action="store_true",
                     help="decode+upload the whole training set to HBM once "
                          "and batch in-graph (single device; see "
@@ -364,7 +371,7 @@ def main():
         args.output_dir, num_epochs=args.epochs, seed=args.seed,
         resume_from=args.resume_from,
         device_dataset=args.device_dataset, stream_steps=args.stream_steps,
-        data_parallel=not args.device_dataset)
+        data_parallel=args.data_parallel)
 
 
 if __name__ == "__main__":

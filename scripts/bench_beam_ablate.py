@@ -10,17 +10,27 @@ on the real chip, streamed via lax.map to amortize the relay dispatch floor:
                      (wrong results; isolates top_k cost)
   beam_no_reorder    packed beam minus the per-step self-KV reorder
                      (wrong results; isolates total reorder cost)
-  beam_reorder_gather  reorder via XLA gather on the non-leading beam axis
-                     (the original r2 implementation — row-at-a-time on TPU)
-  beam_reorder_dense reorder via global (N*K)^2 one-hot permutation matmul
+  beam_reorder_gather  physical reorder via XLA gather on the beam axis
+                     (axis 1 of the seq-leading per-layer caches)
+  beam_reorder_perm  physical reorder via per-image (N,K,K) block-diagonal
+                     one-hot permutation matmuls — the r3 production path
+                     before the ancestry rewrite
   beam_ungrouped_mem correct beam with cross-attention K/V duplicated per
                      beam (the pre-grouping layout; 5x the per-step K/V
                      HBM re-read of the production grouped version)
-  beam_full          the real beam_search_teacher_packed (block-diagonal
-                     (N,K,K) permutation reorder, beam-grouped cross-attn)
+  beam_full          the real beam_search_teacher_packed (no physical
+                     reorder at all — ancestry-select attention,
+                     transformer._attend_anc — plus grouped cross-attn)
 
-All _packed_beam_variant arms use the ungrouped (per-beam K/V) layout, so
-they ablate against beam_ungrouped_mem; beam_full is the production path.
+All _packed_beam_variant arms use the ungrouped (per-beam K/V) layout and a
+physically-reordered cache, so they ablate against beam_ungrouped_mem;
+beam_full is the production path.
+
+History note: earlier recordings of this file measured the r2 stacked
+(L, N*K, S, E) cache, where the gather arm ran row-at-a-time (70% of the
+whole step) and motivated the permutation matmul.  The cache is now
+per-layer seq-leading (S, B, E) and the production path does not reorder
+it at all (ancestry + fused kernels).
 
 Writes benchmarks/beam_ablation.json.  Usage:
   python scripts/bench_beam_ablate.py [--n 8 32] [--stream 4]
@@ -58,12 +68,12 @@ MEM_TOKENS = 197
 
 def _packed_beam_variant(params, memory, cfg, *, topk: bool,
                          reorder: str = "perm_blocked"):
-    """beam_search_teacher_packed with ablation switches (timing only —
-    results are WRONG when a switch is off).  ``reorder``: 'none' (skip the
-    per-step self-KV reorder), 'gather' (XLA gather on the non-leading
-    axis — the original r2 implementation), 'perm_dense' (global (N*K)^2
-    one-hot matmul), 'perm_blocked' (production: per-image (N,K,K)
-    block-diagonal)."""
+    """beam_search_teacher_packed with a PHYSICALLY REORDERED cache and
+    ablation switches (timing only — results are WRONG when a switch is
+    off).  ``reorder``: 'none' (skip the per-step self-KV reorder), 'gather'
+    (XLA gather on the leading beam axis), 'perm_blocked' (per-image
+    (N,K,K) block-diagonal one-hot matmul — the pre-ancestry production
+    path)."""
     N = memory.shape[0]
     K = K_BEAM
     S = MAX_LEN + 1
@@ -71,9 +81,10 @@ def _packed_beam_variant(params, memory, cfg, *, topk: bool,
     layers = params["decoder"]
     mem_kv = [{"k": jnp.repeat(c["k"], K, axis=0),
                "v": jnp.repeat(c["v"], K, axis=0)}
-              for c in TD.precompute_memory_kv(layers, memory)]
+              for c in TD.precompute_memory_kv(layers, memory,
+                                               num_heads=cfg.num_heads)]
     self_kv = TD.init_kv_cache(len(layers), N * K, S, cfg.embed_size,
-                               memory.dtype)
+                               memory.dtype, num_heads=cfg.num_heads)
 
     def lp(length):
         return ((5.0 + length.astype(jnp.float32)) / 6.0) ** 0.6
@@ -115,16 +126,13 @@ def _packed_beam_variant(params, memory, cfg, *, topk: bool,
         new, origin_src = book(book_state, top_scores, origin, token, t)
         if reorder == "gather":
             gidx = (jnp.arange(N)[:, None] * K + origin_src).reshape(N * K)
-            new["self_kv"] = {"k": self_kv["k"][:, gidx],
-                              "v": self_kv["v"][:, gidx]}
-        elif reorder == "perm_dense":
-            gidx = (jnp.arange(N)[:, None] * K + origin_src).reshape(N * K)
-            new["self_kv"] = {"k": D._permute_kv_rows(self_kv["k"], gidx),
-                              "v": D._permute_kv_rows(self_kv["v"], gidx)}
+            new["self_kv"] = [{"k": kv["k"][:, gidx], "v": kv["v"][:, gidx]}
+                              for kv in self_kv]
         elif reorder == "perm_blocked":
-            new["self_kv"] = {
-                "k": D._permute_kv_rows_blocked(self_kv["k"], origin_src),
-                "v": D._permute_kv_rows_blocked(self_kv["v"], origin_src)}
+            new["self_kv"] = [
+                {"k": D._permute_rows_blocked(kv["k"], origin_src),
+                 "v": D._permute_rows_blocked(kv["v"], origin_src)}
+                for kv in self_kv]
         else:  # 'none': keep this step's writes, skip the reorder
             new["self_kv"] = self_kv
         return new, None
@@ -180,9 +188,9 @@ def main():
         run("beam_reorder_gather",
             functools.partial(_packed_beam_variant, params, cfg=cfg,
                               topk=True, reorder="gather"))
-        run("beam_reorder_dense",
+        run("beam_reorder_perm",
             functools.partial(_packed_beam_variant, params, cfg=cfg,
-                              topk=True, reorder="perm_dense"))
+                              topk=True, reorder="perm_blocked"))
         run("beam_ungrouped_mem",
             functools.partial(_packed_beam_variant, params, cfg=cfg,
                               topk=True, reorder="perm_blocked"))

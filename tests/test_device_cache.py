@@ -146,6 +146,84 @@ def test_chained_step_matches_direct(synth):
                                    rtol=2e-5, atol=2e-6)
 
 
+def test_chained_step_dp_matches_single_device(synth):
+    """The device-resident pipeline composes with data parallelism: the same
+    chained steps over an 8-device DP mesh (rows replicated, batch
+    constrained over 'data') produce the same losses and parameters as the
+    single-device path."""
+    from imagecaptioner_tpu.core import mesh as MS
+    from imagecaptioner_tpu.core.config import (DistillConfig, KDTrainConfig,
+                                                TeacherConfig,
+                                                full_student_config)
+    from imagecaptioner_tpu.distill.projector import create_feature_projectors
+    from imagecaptioner_tpu.models import student as SM
+    from imagecaptioner_tpu.models import teacher as TM
+    from imagecaptioner_tpu.train import optim as O, steps
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs the multi-device CPU mesh")
+
+    V = len(synth.vocab)
+    t_cfg = TeacherConfig(vocab_size=V, embed_size=32, num_heads=4,
+                          num_decoder_layers=2, dropout=0.0, encoder_dim=24,
+                          encoder_depth=2, encoder_heads=3, image_size=64,
+                          patch_size=16)
+    s_cfg = full_student_config(V, embed_size=16, hidden_size=16,
+                                dropout=0.0, image_size=64)
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
+    tp = TM.teacher_init(k1, t_cfg)
+    sp, ss = SM.student_init(k2, s_cfg)
+    proj, _ = create_feature_projectors(
+        k3, teacher_embed=32, student_embed=16, student_hidden=16,
+        student_seq_len=s_cfg.feature_tokens, teacher_seq_len=t_cfg.num_tokens)
+    tr = KDTrainConfig(batch_size=8, accumulation_steps=1)
+    train_step = steps.make_kd_train_step(t_cfg, s_cfg, DistillConfig(), tr,
+                                          compute_dtype=jnp.float32)
+    params = {"student": sp, "projectors": proj}
+    K = 2
+    idx_k = jnp.asarray(np.arange(K * 8, dtype=np.int32).reshape(K, 1, 8))
+    rng = jax.random.PRNGKey(7)
+    sched0, dsched = jnp.float32(0.25), jnp.float32(0.125)
+
+    def fresh_state():
+        p = jax.tree.map(jnp.copy, params)
+        return steps.TrainState(p, O.adamw_init(p),
+                                jax.tree.map(jnp.copy, ss))
+
+    dd1 = DeviceDataset(synth, max_caption_len=16)
+    st1, ms1 = steps.make_device_data_step(train_step, K)(
+        fresh_state(), tp, dd1.arrays, idx_k, sched0, dsched,
+        jnp.int32(0), rng)
+    ms1 = jax.device_get(ms1)
+
+    mesh = MS.create_mesh()
+    dd8 = DeviceDataset(synth, max_caption_len=16, mesh=mesh)
+    # replicated rows really are replicated over every device
+    assert dd8.arrays["images"].sharding.is_fully_replicated
+    st8 = steps.TrainState(MS.replicate(mesh, fresh_state().params),
+                           MS.replicate(mesh, O.adamw_init(params)),
+                           MS.replicate(mesh, ss))
+    tp8 = MS.replicate(mesh, tp)
+    st8, ms8 = steps.make_device_data_step(train_step, K, mesh)(
+        st8, tp8, dd8.arrays, idx_k, sched0, dsched, jnp.int32(0), rng)
+    ms8 = jax.device_get(ms8)
+
+    # DP gradients psum in a different reduction order than the single-device
+    # sum; the reassociation noise compounds through the optimizer into the
+    # step-2 gradients (measured ~1.6e-4 relative on the losses, ~2.6e-3 on
+    # the far more sensitive global grad norm)
+    for k in ("total_loss", "ce_loss", "token_kd_loss"):
+        np.testing.assert_allclose(ms8[k], ms1[k], rtol=1e-3, atol=1e-5)
+    np.testing.assert_allclose(ms8["grad_norm"], ms1["grad_norm"],
+                               rtol=1e-2, atol=1e-5)
+    # param atol ~ half an adam step: adam divides by sqrt(nu), so elements
+    # with near-zero gradients turn reduction-order noise into an O(lr)
+    # update difference (observed 7.6e-5 abs on ~3e-4 params after 2 steps)
+    for a, b in zip(jax.tree.leaves(st8.params), jax.tree.leaves(st1.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1.5e-4)
+
+
 def test_flatten_step_metrics():
     from imagecaptioner_tpu.train import common
 

@@ -74,8 +74,8 @@ def test_kv_cached_decode_matches_full_forward():
 
     full = TD.decoder_apply(layers, x, mem, num_heads=H, tgt_mask=M.causal_mask(T))
 
-    mem_kv = TD.precompute_memory_kv(layers, mem)
-    self_kv = TD.init_kv_cache(NL, B, T, E)
+    mem_kv = TD.precompute_memory_kv(layers, mem, num_heads=H)
+    self_kv = TD.init_kv_cache(NL, B, T, E, num_heads=H)
     outs = []
     for t in range(T):
         y, self_kv = TD.decoder_step_cached(

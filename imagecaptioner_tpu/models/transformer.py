@@ -85,28 +85,26 @@ def decoder_apply(
 
 def init_kv_cache(num_layers: int, batch: int, max_len: int, d_model: int,
                   dtype=jnp.float32, *, num_heads: int = 1) -> List[Params]:
-    """Per-layer list of {'k','v'} buffers, each SEQ-LEADING
-    (max_len, batch, d_model).  (``num_heads`` is accepted for call-site
-    symmetry but the layout no longer depends on it.)
+    """Per-layer list of {'k','v'} buffers, each HEAD-MAJOR
+    (batch, num_heads, max_len, hd).
 
-    Two deliberate layout choices, both from per-HLO profiles of the packed
-    beam (benchmarks/serving_hlo_profile.json):
+    Layout ledger — every variant measured end-to-end per-HLO on the chip
+    (packed beam, docs/round3_notes.md has the full table):
 
     * a per-layer LIST, not a stacked (L, B, S, E) array — updating layer
       ``li`` of a stack with ``at[li].set`` copies the WHOLE stack every
       layer of every decode step (313 us of the 3.76 ms call);
-    * SEQ-LEADING (S, B, E): the per-step row write is a
-      dynamic_update_slice at a LEADING index — one contiguous B*E write
-      XLA can apply in place in the while body.  Layouts with the position
-      axis inside the tiled minor dims turned every write into a strided
-      sublane update (head-major (B, H, S, hd) measured 2 x 1.6 ms per
-      packed-beam call at 16 GB/s), and (B, S, E) into a full-cache
-      copy+update.  The attention over the cache runs in a Pallas kernel
-      (ops/pallas_beam_attn.py) that slices heads out of the E axis
-      in-VMEM; the (E-minor) blocks also DMA unpadded, unlike hd=64-minor
-      layouts which pad every transfer 2-3x."""
-    return [{"k": jnp.zeros((max_len, batch, d_model), dtype),
-             "v": jnp.zeros((max_len, batch, d_model), dtype)}
+    * HEAD-MAJOR (B, H, S, hd), the layout the attention einsums contract:
+      any layout with heads packed in the minor axis makes XLA materialize
+      a transposed copy of the whole cache per layer-step on the way into
+      the score/context einsums — seq-leading (S, B, E), which optimizes
+      the row WRITE instead (one contiguous leading-index update), measured
+      3.66 vs 3.06 ms/call at N=8: the write is B*E bytes/step while
+      attention re-reads the whole cache, so the read side wins the
+      layout."""
+    hd = d_model // num_heads
+    return [{"k": jnp.zeros((batch, num_heads, max_len, hd), dtype),
+             "v": jnp.zeros((batch, num_heads, max_len, hd), dtype)}
             for _ in range(num_layers)]
 
 
@@ -130,26 +128,23 @@ def _attend(q, k, v, num_heads: int, mask=None):
     return out.transpose(0, 2, 1, 3).reshape(b, lq, e)
 
 
-def _attend_sl(q, k, v, num_heads: int, mask=None):
-    """Attention of a few query rows over a SEQ-LEADING (S, B, E) cache —
-    the XLA fallback path (CPU tests / over-VMEM shapes); the TPU serving
-    path is the fused kernel (ops/pallas_beam_attn.py).
+def _attend_hm(q, k, v, num_heads: int, mask=None):
+    """Attention of a few query rows over a HEAD-MAJOR cache.
 
-    q (B, Lq, E) with small Lq; k/v (S, B, E)."""
+    q (B, Lq, E) with small Lq; k/v (B, H, S, hd) — already in the layout
+    the score and context einsums contract, so no per-step transposed copy
+    of the cache is materialized.  Only q (tiny) is transposed."""
     b, lq, e = q.shape
     hd = e // num_heads
-    S = k.shape[0]
     qh = q.reshape(b, lq, num_heads, hd).transpose(0, 2, 1, 3)
-    kh = k.reshape(S, b, num_heads, hd).transpose(1, 2, 0, 3)  # (B,H,S,hd)
-    vh = v.reshape(S, b, num_heads, hd).transpose(1, 2, 0, 3)
-    logits = jnp.einsum("bhqd,bhkd->bhqk", qh, kh,
+    logits = jnp.einsum("bhqd,bhkd->bhqk", qh, k,
                         preferred_element_type=jnp.float32) / jnp.sqrt(
                             jnp.float32(hd))
     if mask is not None:
         logits = jnp.where(mask, -jnp.inf, logits)
-    w = jax.nn.softmax(logits, axis=-1).astype(vh.dtype)
-    out = jnp.einsum("bhqk,bhkd->bhqd", w, vh,
-                     preferred_element_type=jnp.float32).astype(vh.dtype)
+    w = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    out = jnp.einsum("bhqk,bhkd->bhqd", w, v,
+                     preferred_element_type=jnp.float32).astype(v.dtype)
     return out.transpose(0, 2, 1, 3).reshape(b, lq, e)
 
 
@@ -182,14 +177,20 @@ def _proj_q(p_mha, x):
 def precompute_memory_kv(layers: List[Params], memory: jnp.ndarray, *,
                          num_heads: int = 1) -> List[Params]:
     """Cross-attention K/V depend only on encoder memory — computed once per
-    decode instead of once per step.  Stored plain (B, L, E): the fused
-    cross-attention kernel slices heads out of the E axis in VMEM
-    (E-minor blocks DMA unpadded), and the XLA fallback head-splits per
-    step.  ``num_heads`` is accepted for call-site symmetry."""
+    decode instead of once per step, and stored HEAD-MAJOR (B, H, L, hd) so
+    the per-step attention einsums consume them without materializing a
+    transposed copy every layer of every decode step (same rationale as
+    init_kv_cache)."""
+    b, L, e = memory.shape
+    hd = e // num_heads
     cached = []
     for p in layers:
         _, k, v = _proj_qkv(p["multihead_attn"], memory)
-        cached.append({"k": k, "v": v})
+
+        def hm(t):
+            return t.reshape(b, L, num_heads, hd).transpose(0, 2, 1, 3)
+
+        cached.append({"k": hm(k), "v": hm(v)})
     return cached
 
 
@@ -209,21 +210,21 @@ def _attend_anc(q, k, v, anc_hot, num_heads: int, causal):
     step, 9% of the packed beam call — and lets the position write be the
     only cache mutation, which XLA aliases in place in the while body.
 
-    q (R, 1, E); k/v SEQ-LEADING (S, R, E) with R = N*K; causal
+    q (R, 1, E); k/v HEAD-MAJOR (R, H, S, hd) with R = N*K; causal
     (1, 1, 1, S) bool.  Returns (R, 1, E).
     """
     r, _, e = q.shape
     hd = e // num_heads
     N, K, S, _ = anc_hot.shape
     qh = q.reshape(N, K, num_heads, hd)
-    kh = k.reshape(S, N, K, num_heads, hd)
-    vh = v.reshape(S, N, K, num_heads, hd)
+    kh = k.reshape(N, K, num_heads, S, hd)
+    vh = v.reshape(N, K, num_heads, S, hd)
     # all-pairs scores: beam i's query vs every slot j's entry at each s.
     # precision pinned: this 5-D einsum is otherwise lowered with
     # bf16-truncated multiplies even for f32 operands (measured 7.5e-3
     # error vs a f64 oracle on CPU — the plain 4-D attend einsum is exact),
     # which would shift beam scores vs the physically-reordered path
-    s_all = jnp.einsum("nihd,snjhd->nhijs", qh, kh,
+    s_all = jnp.einsum("nihd,njhsd->nhijs", qh, kh,
                        preferred_element_type=jnp.float32,
                        precision=jax.lax.Precision.HIGHEST) / jnp.sqrt(
                            jnp.float32(hd))
@@ -236,7 +237,7 @@ def _attend_anc(q, k, v, anc_hot, num_heads: int, causal):
     logits = jnp.where(live, s_all, -jnp.inf)
     w = jax.nn.softmax(logits.reshape(N, num_heads, K, K * S), axis=-1)
     w = w.reshape(N, num_heads, K, K, S).astype(vh.dtype)
-    ctx = jnp.einsum("nhijs,snjhd->nihd", w, vh,
+    ctx = jnp.einsum("nhijs,njhsd->nihd", w, vh,
                      preferred_element_type=jnp.float32,
                      precision=jax.lax.Precision.HIGHEST).astype(vh.dtype)
     return ctx.reshape(r, 1, e)
@@ -250,7 +251,7 @@ def decoder_step_cached(
     """One token through all layers with KV caching (eval mode, no dropout).
 
     x_t (B, 1, E); pos scalar int32 index; self_kv: per-layer list of
-    {'k','v'} seq-leading (S, B, E) buffers (see init_kv_cache).
+    {'k','v'} head-major (B, H, S, hd) buffers (see init_kv_cache).
     Returns (y (B, 1, E), updated self_kv).
 
     ``mem_group``: number of consecutive x_t rows sharing one ``mem_kv`` row
@@ -272,7 +273,8 @@ def decoder_step_cached(
     CPU/test/fallback implementation.
     """
     B, _, E = x_t.shape
-    max_len = self_kv[0]["k"].shape[0]
+    hd = E // num_heads
+    max_len = self_kv[0]["k"].shape[2]
     # mask out self-attention positions beyond `pos`
     pos_ids = jnp.arange(max_len)[None, None, None, :]  # (1,1,1,S)
     causal = pos_ids > pos
@@ -285,7 +287,7 @@ def decoder_step_cached(
         if impl != "xla":
             try:
                 BA.check_vmem(B, anc, max_len, E, num_heads,
-                              mem_len=mem_kv[0]["k"].shape[1],
+                              mem_len=mem_kv[0]["k"].shape[2],
                               itemsize=jnp.dtype(x_t.dtype).itemsize)
             except BA.BeamAttnVmemExceeded as e:
                 import os
@@ -302,12 +304,11 @@ def decoder_step_cached(
     new_kv = []
     for p, kv, mkv in zip(layers, self_kv, mem_kv):
         q, k_new, v_new = _proj_qkv(p["self_attn"], y)
-        # seq-leading cache: this position's rows are one contiguous
-        # leading-index write (see init_kv_cache)
-        k_cache = jax.lax.dynamic_update_slice(
-            kv["k"], k_new.transpose(1, 0, 2), (pos, 0, 0))
-        v_cache = jax.lax.dynamic_update_slice(
-            kv["v"], v_new.transpose(1, 0, 2), (pos, 0, 0))
+        # write this position's rows in the cache's head-major layout
+        k_row = k_new.reshape(B, 1, num_heads, hd).transpose(0, 2, 1, 3)
+        v_row = v_new.reshape(B, 1, num_heads, hd).transpose(0, 2, 1, 3)
+        k_cache = jax.lax.dynamic_update_slice(kv["k"], k_row, (0, 0, pos, 0))
+        v_cache = jax.lax.dynamic_update_slice(kv["v"], v_row, (0, 0, pos, 0))
         new_kv.append({"k": k_cache, "v": v_cache})
         if impl != "xla":
             sa = BA.fused_beam_self_attention(
@@ -316,7 +317,7 @@ def decoder_step_cached(
         elif anc_hot is not None:
             sa = _attend_anc(q, k_cache, v_cache, anc_hot, num_heads, causal)
         else:
-            sa = _attend_sl(q, k_cache, v_cache, num_heads, mask=causal)
+            sa = _attend_hm(q, k_cache, v_cache, num_heads, mask=causal)
         sa = M.dense(p["self_attn"]["out_proj"], sa)
         y = M.layer_norm(p["norm1"], y + sa)
 
@@ -327,10 +328,10 @@ def decoder_step_cached(
                 interpret=impl == "interpret")
         elif mem_group > 1:
             qg = qc.reshape(-1, mem_group, qc.shape[-1])  # (N, K, E)
-            ca = _attend(qg, mkv["k"], mkv["v"], num_heads)
+            ca = _attend_hm(qg, mkv["k"], mkv["v"], num_heads)
             ca = ca.reshape(qc.shape)
         else:
-            ca = _attend(qc, mkv["k"], mkv["v"], num_heads)
+            ca = _attend_hm(qc, mkv["k"], mkv["v"], num_heads)
         ca = M.dense(p["multihead_attn"]["out_proj"], ca)
         y = M.layer_norm(p["norm2"], y + ca)
 

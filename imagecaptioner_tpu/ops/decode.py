@@ -23,6 +23,7 @@ re-running the full prefix each step.
 from __future__ import annotations
 
 import functools
+import os as _os
 from typing import Dict, List, Optional, Tuple
 
 import jax
@@ -489,24 +490,25 @@ def beam_search_teacher_batched(
     return jax.vmap(fn)(memory)
 
 
-import os as _os
-
-# A/B experiment switch (IC_BEAM_ANC=0 -> physical per-step permute of the
+# Measured A/B switch (IC_BEAM_ANC=0 -> physical per-step permute of the
 # head-major cache instead of ancestry-select attention); both paths are
-# token-identical, the winner on the chip becomes the only path.
+# token- and score-identical (tests).  Ancestry is the default: it wins at
+# the recorded best serving point (N=8-16; 3.06 vs 3.27 ms/call device),
+# the permute wins slightly at N=32 where the all-pairs score padding
+# grows (14.5 vs 13.0) — docs/round3_notes.md has the full ledger.
 _USE_ANC = _os.environ.get("IC_BEAM_ANC", "1") == "1"
 
 
 def _permute_rows_blocked(kv, idx):
-    """Per-image one-hot permutation of a per-layer seq-leading cache:
-    kv (S, N*K, E), idx (N, K) in [0, K).  HIGHEST precision — exact for
-    a permutation (default MXU precision would truncate to bf16)."""
-    S, R, E = kv.shape
+    """Per-image one-hot permutation of a per-layer head-major cache:
+    kv (N*K, H, S, hd), idx (N, K) in [0, K).  HIGHEST precision — exact
+    for a permutation (default MXU precision would truncate to bf16)."""
+    R, H, S, hd = kv.shape
     N, K = idx.shape
     perm = jax.nn.one_hot(idx, K, dtype=kv.dtype)          # (N, K, K)
-    out = jnp.einsum("nij,snje->snie", perm, kv.reshape(S, N, K, E),
+    out = jnp.einsum("nij,njhsd->nihsd", perm, kv.reshape(N, K, H, S, hd),
                      precision=jax.lax.Precision.HIGHEST)
-    return out.reshape(S, R, E)
+    return out.reshape(R, H, S, hd)
 
 
 def _scatter_rows(buf, slot, rows, mask):

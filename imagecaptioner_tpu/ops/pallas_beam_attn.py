@@ -14,20 +14,16 @@ by artifacts the math doesn't require —
     ((N,H,K,K,S) self scores with K=5 -> 8 sublanes and S=21 -> 128 lanes;
     (N,H,K,L) cross scores) pads 2-10x, inflating effective traffic (the
     cross softmax alone measured 3.6 ms/call at 68 GB/s at N=32);
-  * each of the ~10 small XLA ops per layer-step pays dispatch overhead;
-  * hd=64-minor cache layouts pad every DMA 2-3x.
+  * each of the ~10 small XLA ops per layer-step pays dispatch overhead.
 
-In the kernels every score/softmax/context stays an unpadded 2-D VMEM
-tile: heads are sliced out of the E-minor axis in VMEM (E = 512 lanes, no
-padding), and programs process ``G`` images each so the ~2-3 us fixed
-program cost (programs run sequentially on the single tensorcore)
-amortizes.
+In the kernels every score/softmax/context stays a 2-D VMEM tile, and
+programs process ``G`` images each so the ~2-3 us fixed program cost
+(programs run sequentially on the single tensorcore) amortizes.
 
-The KV-cache row write stays in XLA: the seq-leading (S, B, E) cache
-layout makes it one contiguous leading-index dynamic_update_slice
-(measured variants that moved the update in-kernel paid full in+out block
-DMA on the aliased cache, and head-major layouts turned the XLA write
-into a 16 GB/s strided sublane update — both lost).
+The KV-cache row write stays in XLA on the head-major (B, H, S, hd)
+cache (measured variants that moved the update in-kernel paid full in+out
+block DMA on the aliased cache and lost; the full layout ledger is in
+docs/round3_notes.md and transformer.init_kv_cache).
 
 Numerics match the XLA ancestry path: scores contract in f32, the joint
 softmax over (slot, position) sees -inf at non-lineage entries (exp = 0
@@ -130,11 +126,10 @@ def _make_self_kernel(G: int, K: int, H: int, S: int, hd: int, scale: float,
             lives = [(anc == j) & (s_ids <= pos) for j in range(K)]
             for h in range(H):
                 q_h = q_ref[g, h]                            # (K, hd)
-                # per-slot scores (Ki, S): q_h (K, hd) x k_j (S, hd)^T,
-                # the head sliced out of the E-minor axis in VMEM
+                # per-slot scores (Ki, S): q_h (K, hd) x k_j (S, hd)^T
                 logits = []
                 for j in range(K):
-                    k_j = kc_ref[:, g * K + j, h * hd:(h + 1) * hd]
+                    k_j = kc_ref[g * K + j, h]               # (S, hd)
                     s_j = jax.lax.dot_general(
                         q_h, k_j,
                         dimension_numbers=(((1,), (1,)), ((), ())),
@@ -154,7 +149,7 @@ def _make_self_kernel(G: int, K: int, H: int, S: int, hd: int, scale: float,
                 ctx = None
                 for j in range(K):
                     w_j = (es[j] / z).astype(vc_ref.dtype)
-                    v_j = vc_ref[:, g * K + j, h * hd:(h + 1) * hd]
+                    v_j = vc_ref[g * K + j, h]               # (S, hd)
                     c_j = jax.lax.dot_general(
                         w_j, v_j,
                         dimension_numbers=(((1,), (0,)), ((), ())),
@@ -172,13 +167,13 @@ def fused_beam_self_attention(
     q: jnp.ndarray, kv: Dict, anc: jnp.ndarray, pos, *, num_heads: int,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Ancestry beam self-attention over the (already updated) seq-leading
+    """Ancestry beam self-attention over the (already updated) head-major
     cache.
 
     q (R, 1, E) projected queries for this step; ``kv`` holds the
-    seq-leading caches {'k','v'} (S, R, E) with this step's rows already
-    written at ``pos``; ``anc`` (N, K, S) int32 ancestry (R = N*K, position
-    ``pos`` set to identity by the caller); ``pos`` scalar int32.
+    head-major caches {'k','v'} (R, H, S, hd) with this step's rows
+    already written at ``pos``; ``anc`` (N, K, S) int32 ancestry (R = N*K,
+    position ``pos`` set to identity by the caller); ``pos`` scalar int32.
     Returns the attention output (R, 1, E).
     """
     R, _, E = q.shape
@@ -199,7 +194,7 @@ def fused_beam_self_attention(
     qh = q.reshape(N, K, H, hd).transpose(0, 2, 1, 3)
     pos_arr = jnp.asarray(pos, jnp.int32).reshape(1, 1)
 
-    cache_blk = pl.BlockSpec((S, G * K, E), lambda n: (0, n, 0),
+    cache_blk = pl.BlockSpec((G * K, H, S, hd), lambda n: (n, 0, 0, 0),
                              memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         _make_self_kernel(G, K, H, S, hd, 1.0 / float(hd) ** 0.5, interpret),
@@ -231,7 +226,7 @@ def _make_cross_kernel(G: int, K: int, H: int, L: int, hd: int, scale: float,
         for g in range(G):
             for h in range(H):
                 q_h = q_ref[g, h]                            # (K, hd)
-                k_h = mk_ref[g, :, h * hd:(h + 1) * hd]      # (L, hd)
+                k_h = mk_ref[g, h]                           # (L, hd)
                 s = jax.lax.dot_general(
                     q_h, k_h, dimension_numbers=(((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
@@ -239,7 +234,7 @@ def _make_cross_kernel(G: int, K: int, H: int, L: int, hd: int, scale: float,
                 m = jnp.max(s, axis=1, keepdims=True)
                 e = jnp.exp(s - m)
                 w = (e / e.sum(axis=1, keepdims=True)).astype(mv_ref.dtype)
-                v_h = mv_ref[g, :, h * hd:(h + 1) * hd]      # (L, hd)
+                v_h = mv_ref[g, h]                           # (L, hd)
                 ctx = jax.lax.dot_general(
                     w, v_h, dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
@@ -258,17 +253,17 @@ def fused_beam_cross_attention(
     """Beam-grouped cross-attention over precomputed encoder memory K/V.
 
     q (R, 1, E) with R = N * mem_group (an image's beams are consecutive
-    rows); ``mem_kv`` {'k','v'} (N, L, E).  Unmasked per-query softmax over
-    L — the XLA equivalent padded its (N, H, K, L) score tensor and ran the
-    softmax chain at 68 GB/s effective (3.6 ms/call at N=32).
-    Returns (R, 1, E).
+    rows); ``mem_kv`` {'k','v'} head-major (N, H, L, hd).  Unmasked
+    per-query softmax over L — the XLA equivalent padded its (N, H, K, L)
+    score tensor and ran the softmax chain at 68 GB/s effective
+    (3.6 ms/call at N=32).  Returns (R, 1, E).
     """
     R, _, E = q.shape
     K = mem_group
     N = R // K
     H = num_heads
     hd = E // H
-    L = mem_kv["k"].shape[1]
+    L = mem_kv["k"].shape[2]
     itemsize = jnp.dtype(mem_kv["k"].dtype).itemsize
     G = _pick_g(N, _cross_bytes(K, L, E, itemsize))
     est = int(G * _cross_bytes(K, L, E, itemsize) * 1.4) + (2 << 20)
@@ -284,9 +279,9 @@ def fused_beam_cross_attention(
         in_specs=[
             pl.BlockSpec((G, H, K, hd), lambda n: (n, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((G, L, E), lambda n: (n, 0, 0),
+            pl.BlockSpec((G, H, L, hd), lambda n: (n, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((G, L, E), lambda n: (n, 0, 0),
+            pl.BlockSpec((G, H, L, hd), lambda n: (n, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((G, H, K, hd), lambda n: (n, 0, 0, 0),

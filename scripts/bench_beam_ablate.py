@@ -10,8 +10,8 @@ on the real chip, streamed via lax.map to amortize the relay dispatch floor:
                      (wrong results; isolates top_k cost)
   beam_no_reorder    packed beam minus the per-step self-KV reorder
                      (wrong results; isolates total reorder cost)
-  beam_reorder_gather  physical reorder via XLA gather on the beam axis
-                     (axis 1 of the seq-leading per-layer caches)
+  beam_reorder_gather  physical reorder via XLA gather on the (leading)
+                     beam axis of the per-layer head-major caches
   beam_reorder_perm  physical reorder via per-image (N,K,K) block-diagonal
                      one-hot permutation matmuls — the r3 production path
                      before the ancestry rewrite
@@ -29,8 +29,8 @@ beam_full is the production path.
 History note: earlier recordings of this file measured the r2 stacked
 (L, N*K, S, E) cache, where the gather arm ran row-at-a-time (70% of the
 whole step) and motivated the permutation matmul.  The cache is now
-per-layer seq-leading (S, B, E) and the production path does not reorder
-it at all (ancestry + fused kernels).
+per-layer head-major (B, H, S, hd) and the production path does not
+reorder it at all (ancestry-select attention).
 
 Writes benchmarks/beam_ablation.json.  Usage:
   python scripts/bench_beam_ablate.py [--n 8 32] [--stream 4]
@@ -126,7 +126,7 @@ def _packed_beam_variant(params, memory, cfg, *, topk: bool,
         new, origin_src = book(book_state, top_scores, origin, token, t)
         if reorder == "gather":
             gidx = (jnp.arange(N)[:, None] * K + origin_src).reshape(N * K)
-            new["self_kv"] = [{"k": kv["k"][:, gidx], "v": kv["v"][:, gidx]}
+            new["self_kv"] = [{"k": kv["k"][gidx], "v": kv["v"][gidx]}
                               for kv in self_kv]
         elif reorder == "perm_blocked":
             new["self_kv"] = [

@@ -70,17 +70,17 @@ def test_attention_core_matches_xla_anc(monkeypatch):
     q = jnp.asarray(rng.normal(size=(R, 1, E)).astype(np.float32))
     kn = jnp.asarray(rng.normal(size=(R, 1, E)).astype(np.float32))
     vn = jnp.asarray(rng.normal(size=(R, 1, E)).astype(np.float32))
-    kv = {"k": jnp.asarray(rng.normal(size=(S, R, E)).astype(np.float32)),
-          "v": jnp.asarray(rng.normal(size=(S, R, E)).astype(np.float32))}
+    kv = {"k": jnp.asarray(rng.normal(size=(R, H, S, hd)).astype(np.float32)),
+          "v": jnp.asarray(rng.normal(size=(R, H, S, hd)).astype(np.float32))}
     pos = 5
     anc = jnp.asarray(rng.integers(0, K, size=(N, K, S)).astype(np.int32))
     anc = anc.at[:, :, pos].set(jnp.arange(K, dtype=jnp.int32)[None, :])
 
     # caller contract: rows at `pos` already written into the cache
-    kc = jax.lax.dynamic_update_slice(kv["k"], kn.transpose(1, 0, 2),
-                                      (pos, 0, 0))
-    vc = jax.lax.dynamic_update_slice(kv["v"], vn.transpose(1, 0, 2),
-                                      (pos, 0, 0))
+    krow = kn.reshape(R, 1, H, hd).transpose(0, 2, 1, 3)
+    vrow = vn.reshape(R, 1, H, hd).transpose(0, 2, 1, 3)
+    kc = jax.lax.dynamic_update_slice(kv["k"], krow, (0, 0, pos, 0))
+    vc = jax.lax.dynamic_update_slice(kv["v"], vrow, (0, 0, pos, 0))
 
     out = BA.fused_beam_self_attention(q, {"k": kc, "v": vc}, anc,
                                        jnp.int32(pos), num_heads=H,
@@ -96,8 +96,8 @@ def test_attention_core_matches_xla_anc(monkeypatch):
 
 def test_vmem_refusal():
     q = jnp.zeros((128, 1, 512))
-    kv = {"k": jnp.zeros((65536, 128, 512)),
-          "v": jnp.zeros((65536, 128, 512))}
+    kv = {"k": jnp.zeros((128, 8, 65536, 64)),
+          "v": jnp.zeros((128, 8, 65536, 64))}
     anc = jnp.zeros((1, 128, 65536), jnp.int32)
     with pytest.raises(BA.BeamAttnVmemExceeded):
         BA.fused_beam_self_attention(q, kv, anc, jnp.int32(0),

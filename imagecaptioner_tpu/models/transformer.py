@@ -219,15 +219,21 @@ def _attend_anc(q, k, v, anc_hot, num_heads: int, causal):
     qh = q.reshape(N, K, num_heads, hd)
     kh = k.reshape(N, K, num_heads, S, hd)
     vh = v.reshape(N, K, num_heads, S, hd)
-    # all-pairs scores: beam i's query vs every slot j's entry at each s.
-    # precision pinned: this 5-D einsum is otherwise lowered with
-    # bf16-truncated multiplies even for f32 operands (measured 7.5e-3
-    # error vs a f64 oracle on CPU — the plain 4-D attend einsum is exact),
-    # which would shift beam scores vs the physically-reordered path
+    # Precision pinned for f32 operands ONLY: the 5-D einsums are otherwise
+    # lowered with bf16-truncated multiplies even for f32 operands (measured
+    # 7.5e-3 error vs a f64 oracle on CPU — the plain 4-D attend einsum is
+    # exact), which would shift beam scores vs the physically-reordered
+    # path.  For bf16 operands there is nothing left to truncate — the MXU
+    # multiplies bf16 pairs exactly into a f32 accumulator under DEFAULT —
+    # while HIGHEST makes XLA run the contraction on an upcast-f32 path
+    # measured 5x slower at these shapes (the bf16 serving beam's ctx
+    # einsum ran at the f32 rate, 4.6 vs 0.77 us/call).
+    prec = (jax.lax.Precision.HIGHEST if qh.dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+    # all-pairs scores: beam i's query vs every slot j's entry at each s
     s_all = jnp.einsum("nihd,njhsd->nhijs", qh, kh,
                        preferred_element_type=jnp.float32,
-                       precision=jax.lax.Precision.HIGHEST) / jnp.sqrt(
-                           jnp.float32(hd))
+                       precision=prec) / jnp.sqrt(jnp.float32(hd))
     # joint softmax over (slot, position) with non-lineage and future
     # entries at -inf: exp(-inf) = 0 exactly, so the weights (and their
     # normalizer) are identical to a softmax over the selected lineage
@@ -239,7 +245,7 @@ def _attend_anc(q, k, v, anc_hot, num_heads: int, causal):
     w = w.reshape(N, num_heads, K, K, S).astype(vh.dtype)
     ctx = jnp.einsum("nhijs,njhsd->nihd", w, vh,
                      preferred_element_type=jnp.float32,
-                     precision=jax.lax.Precision.HIGHEST).astype(vh.dtype)
+                     precision=prec).astype(vh.dtype)
     return ctx.reshape(r, 1, e)
 
 

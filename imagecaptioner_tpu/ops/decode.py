@@ -231,10 +231,11 @@ def greedy_decode_teacher(
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "max_length", "beam_size",
-                                             "length_penalty"))
+                                             "length_penalty", "early_exit"))
 def beam_search_teacher(
     params: Dict, memory: jnp.ndarray, cfg: TeacherConfig, *,
     max_length: int = 20, beam_size: int = 5, length_penalty: float = 0.6,
+    early_exit: Optional[bool] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Single-image beam search. memory (1, L, E).
 
@@ -302,7 +303,8 @@ def beam_search_teacher(
                 for kv in self_kv]
         return new, None
 
-    state, _ = jax.lax.scan(step, state, jnp.arange(max_length))
+    state = _run_decode_loop(step, state, max_length,
+                             lambda st: st["n_live"] > 0, early_exit)
 
     # If nothing finished, finalize live beams (teacher_model.py:231-236)
     live_len = jnp.int32(S)
@@ -362,10 +364,11 @@ def _beam_bookkeeping(state, top_scores, origin, token, t, lp):
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "max_length", "beam_size",
-                                             "length_penalty"))
+                                             "length_penalty", "early_exit"))
 def beam_search_teacher_packed(
     params: Dict, memory: jnp.ndarray, cfg: TeacherConfig, *,
     max_length: int = 20, beam_size: int = 5, length_penalty: float = 0.6,
+    early_exit: Optional[bool] = None,
 ):
     """N-image beam search with the beams PACKED into the batch dimension.
 
@@ -453,7 +456,8 @@ def beam_search_teacher_packed(
                 for kv in self_kv]
         return new, None
 
-    state, _ = jax.lax.scan(step, state, jnp.arange(max_length))
+    state = _run_decode_loop(step, state, max_length,
+                             lambda st: jnp.any(st["n_live"] > 0), early_exit)
 
     # If nothing finished, finalize live beams (teacher_model.py:231-236)
     live_len = jnp.int32(S)
@@ -473,20 +477,23 @@ def beam_search_teacher_packed(
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "max_length", "beam_size",
-                                             "length_penalty"))
+                                             "length_penalty", "early_exit"))
 def beam_search_teacher_batched(
     params: Dict, memory: jnp.ndarray, cfg: TeacherConfig, *,
     max_length: int = 20, beam_size: int = 5, length_penalty: float = 0.6,
+    early_exit: Optional[bool] = None,
 ):
     """vmap of :func:`beam_search_teacher` over a batch of images.
 
     memory (N, L, E) -> (seqs (N, K, S), scores (N, K), lens (N, K)).
     All beam state is static-shape, so batching the whole search is a single
     vmap — N independent beam searches run as one fused program (the
-    reference can only do one image at a time, evaluate_student.py:152)."""
+    reference can only do one image at a time, evaluate_student.py:152).
+    Under ``early_exit`` the vmapped while_loop runs until every lane's
+    beams are done (JAX's batching rule masks finished lanes)."""
     fn = lambda m: beam_search_teacher(  # noqa: E731
         params, m[None], cfg, max_length=max_length, beam_size=beam_size,
-        length_penalty=length_penalty)
+        length_penalty=length_penalty, early_exit=early_exit)
     return jax.vmap(fn)(memory)
 
 
@@ -497,6 +504,39 @@ def beam_search_teacher_batched(
 # the permute wins slightly at N=32 where the all-pairs score padding
 # grows (14.5 vs 13.0) — docs/round3_notes.md has the full ledger.
 _USE_ANC = _os.environ.get("IC_BEAM_ANC", "1") == "1"
+
+# Early loop termination: the reference's beam loop breaks as soon as every
+# beam has produced <END> (teacher_model.py:196-198 `if len(beams) == 0:
+# break`); the fixed-width emulation reproduces that state as n_live == 0,
+# after which every step is a provable no-op (all accept/finalize masks are
+# gated on finite scores, and the scores of dead slots are -inf).  A
+# `lax.while_loop` with an all-images-dead predicate skips those no-op
+# steps — on a converged captioner (~6-token captions, max_length 20) that
+# is ~2/3 of the decode steps.  IC_BEAM_EARLY_EXIT=0 restores the fixed
+# `lax.scan` (used by the equivalence tests and fixed-work benchmarks).
+_EARLY_EXIT = _os.environ.get("IC_BEAM_EARLY_EXIT", "1") == "1"
+
+
+def _run_decode_loop(step, state, max_length, any_live, early_exit):
+    """Run `state = step(state, t)[0]` for t = 0..max_length-1, stopping
+    early (dynamic trip count) once `any_live(state)` is False."""
+    if early_exit is None:
+        early_exit = _EARLY_EXIT
+    if not early_exit:
+        state, _ = jax.lax.scan(step, state, jnp.arange(max_length))
+        return state
+
+    def cond(carry):
+        t, st = carry
+        return (t < max_length) & any_live(st)
+
+    def body(carry):
+        t, st = carry
+        st, _ = step(st, t)
+        return t + 1, st
+
+    _, state = jax.lax.while_loop(cond, body, (jnp.int32(0), state))
+    return state
 
 
 def _permute_rows_blocked(kv, idx):

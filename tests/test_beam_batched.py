@@ -62,3 +62,39 @@ def test_packed_beam_production_dims_smoke():
                                             beam_size=5)
     assert s.shape == (4, 5, 11)
     assert bool(jnp.all(jnp.isfinite(sc[:, 0])))
+
+
+def test_beam_early_exit_identical():
+    """The while_loop early termination (stop when every image's beams are
+    done — the reference's `if len(beams) == 0: break`,
+    teacher_model.py:196-198) must be bitwise-identical to the fixed
+    lax.scan, both when beams survive to max_length and when they all
+    finish in the first steps (END-biased output head)."""
+    cfg = TeacherConfig(vocab_size=40, embed_size=32, num_heads=4,
+                        num_decoder_layers=2, dropout=0.0, encoder_dim=24,
+                        encoder_depth=2, encoder_heads=3, image_size=32,
+                        patch_size=16)
+    p = TM.teacher_init(jax.random.PRNGKey(0), cfg)
+    images = jax.random.normal(jax.random.PRNGKey(1), (3, 3, 32, 32))
+    memory = TM.encode_image(p, images, cfg)
+
+    # END-biased head: every beam finishes around step 2
+    p_eos = jax.tree.map(lambda x: x, p)
+    bias = np.full((40,), -4.0, np.float32)
+    bias[2] = 20.0  # END token id
+    p_eos["fc_out"] = dict(p_eos["fc_out"], bias=jnp.asarray(bias))
+
+    for prm in (p, p_eos):
+        for fn in (D.beam_search_teacher_packed, D.beam_search_teacher_batched):
+            fast = fn(prm, memory, cfg, max_length=8, beam_size=3,
+                      early_exit=True)
+            full = fn(prm, memory, cfg, max_length=8, beam_size=3,
+                      early_exit=False)
+            for a, b in zip(fast, full):
+                np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        s_fast = D.beam_search_teacher(prm, memory[:1], cfg, max_length=8,
+                                       beam_size=3, early_exit=True)
+        s_full = D.beam_search_teacher(prm, memory[:1], cfg, max_length=8,
+                                       beam_size=3, early_exit=False)
+        for a, b in zip(s_fast, s_full):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

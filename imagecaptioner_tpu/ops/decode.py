@@ -44,17 +44,24 @@ from imagecaptioner_tpu.models import transformer as TD
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "max_length", "temperature"))
+@functools.partial(jax.jit, static_argnames=("cfg", "max_length",
+                                             "temperature", "early_exit"))
 def greedy_decode_student(
     params: Dict, feats: jnp.ndarray, cfg: StudentConfig, *,
     max_length: int = 20, temperature: float = 1.0,
-    rng: Optional[jax.Array] = None,
+    rng: Optional[jax.Array] = None, early_exit: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Batched greedy decode over refined features (B, L, E).
 
     Returns (B, max_length) int32 tokens; positions at/after the first <END>
     are PAD.  Pass ``rng`` to switch from argmax to multinomial sampling at
     ``temperature`` (streamlit student path uses T=1.1).
+
+    ``early_exit`` (default IC_BEAM_EARLY_EXIT, on): stop the decode loop
+    once every row has emitted <END> — bitwise the full scan's output (the
+    skipped steps write PAD into an already-PAD buffer).  The fused Pallas
+    greedy kernel (best_greedy_decode_student) runs fixed-length; this is
+    the XLA path used on CPU and as the kernel fallback.
     """
     B = feats.shape[0]
     hc0 = L.init_hidden(cfg.num_layers, B, cfg.hidden_size, feats.dtype)
@@ -91,8 +98,25 @@ def greedy_decode_student(
 
     rngs = (jax.random.split(rng, max_length) if rng is not None
             else jnp.zeros((max_length, 2), jnp.uint32))
-    _, toks = jax.lax.scan(scan_fn, (hc0, tok0, done0),
-                           (jnp.arange(max_length), rngs))
+    ee = _EARLY_EXIT if early_exit is None else early_exit
+    if not ee:
+        _, toks = jax.lax.scan(scan_fn, (hc0, tok0, done0),
+                               (jnp.arange(max_length), rngs))
+        return toks.T  # (B, max_length)
+
+    def cond(carry):
+        t, (_, _, done), _ = carry
+        return (t < max_length) & ~jnp.all(done)
+
+    def body(carry):
+        t, st, buf = carry
+        st, out = scan_fn(st, (t, rngs[t]))
+        return t + 1, st, jax.lax.dynamic_update_slice(
+            buf, out[None], (t, jnp.int32(0)))
+
+    buf0 = jnp.full((max_length, B), PAD, jnp.int32)
+    _, _, toks = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), (hc0, tok0, done0), buf0))
     return toks.T  # (B, max_length)
 
 
@@ -181,14 +205,19 @@ def _teacher_embed_step(params, tok: jnp.ndarray, pos, cfg: TeacherConfig
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "max_length", "sample",
-                                             "temperature"))
+                                             "temperature", "early_exit"))
 def greedy_decode_teacher(
     params: Dict, memory: jnp.ndarray, cfg: TeacherConfig, *,
     max_length: int = 20, temperature: float = 1.0, sample: bool = False,
-    rng: Optional[jax.Array] = None,
+    rng: Optional[jax.Array] = None, early_exit: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Batched KV-cached greedy/sampled decode. memory (B, L, E) ->
-    (B, max_length) tokens (PAD after first <END>)."""
+    (B, max_length) tokens (PAD after first <END>).
+
+    With ``early_exit`` (default: IC_BEAM_EARLY_EXIT, on) the loop stops
+    once every row has emitted <END> — post-done steps only write PAD into
+    a buffer that is already PAD, so the output is bitwise the full scan's
+    (tests/test_decode.py::test_greedy_teacher_early_exit_identical)."""
     B = memory.shape[0]
     layers = params["decoder"]
     mem_kv = TD.precompute_memory_kv(layers, memory,
@@ -220,8 +249,28 @@ def greedy_decode_teacher(
 
     rngs = (jax.random.split(rng, max_length) if rng is not None
             else jnp.zeros((max_length, 2), jnp.uint32))
-    _, toks = jax.lax.scan(scan_fn, (self_kv, tok0, done0),
-                           (jnp.arange(max_length), rngs))
+    ee = _EARLY_EXIT if early_exit is None else early_exit
+    if not ee:
+        _, toks = jax.lax.scan(scan_fn, (self_kv, tok0, done0),
+                               (jnp.arange(max_length), rngs))
+        return toks.T
+
+    # while_loop variant: stop once every row is done.  The out buffer is
+    # initialized to PAD, which is exactly what the skipped steps would
+    # have written (out = PAD whenever done), so outputs are bitwise equal.
+    def cond(carry):
+        t, (_, _, done), _ = carry
+        return (t < max_length) & ~jnp.all(done)
+
+    def body(carry):
+        t, st, buf = carry
+        st, out = scan_fn(st, (t, rngs[t]))
+        return t + 1, st, jax.lax.dynamic_update_slice(
+            buf, out[None], (t, jnp.int32(0)))
+
+    buf0 = jnp.full((max_length, B), PAD, jnp.int32)
+    _, _, toks = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), (self_kv, tok0, done0), buf0))
     return toks.T
 
 

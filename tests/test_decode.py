@@ -172,3 +172,48 @@ def test_beam_captions_formatting(small_teacher):
     assert 1 <= len(caps) <= 2
     for c in caps:
         assert "w1" not in c.split() and "w2" not in c.split()  # no START/END
+
+
+def test_greedy_teacher_early_exit_identical(small_teacher):
+    """The while_loop early termination of the teacher greedy/sampled decode
+    must be bitwise the lax.scan output: post-all-done steps only write PAD
+    into an already-PAD buffer.  Covered both for a random head (never
+    finishes — full length) and an END-biased head (finishes at step ~1)."""
+    p, cfg, memory = small_teacher
+    mem3 = jnp.concatenate([memory, memory * 0.5, memory * -1.0], axis=0)
+
+    p_eos = jax.tree.map(lambda x: x, p)
+    bias = np.full((V,), -4.0, np.float32)
+    bias[END] = 20.0
+    p_eos["fc_out"] = dict(p_eos["fc_out"], bias=jnp.asarray(bias))
+
+    for prm in (p, p_eos):
+        for kw in ({"sample": False},
+                   {"sample": True, "temperature": 1.3,
+                    "rng": jax.random.PRNGKey(7)}):
+            fast = D.greedy_decode_teacher(prm, mem3, cfg, max_length=9,
+                                           early_exit=True, **kw)
+            full = D.greedy_decode_teacher(prm, mem3, cfg, max_length=9,
+                                           early_exit=False, **kw)
+            np.testing.assert_array_equal(np.asarray(fast), np.asarray(full))
+
+
+def test_student_greedy_early_exit_identical():
+    """Student greedy/sampled early exit (XLA path) is bitwise the scan."""
+    cfg = compact_student_config(V, embed_size=16, hidden_size=16, dropout=0.0)
+    p, feats = _student_fixture(cfg)
+
+    p_eos = jax.tree.map(lambda x: x, p)
+    bias = np.full((V,), -4.0, np.float32)
+    bias[END] = 20.0
+    p_eos["decoder"] = dict(p_eos["decoder"])
+    p_eos["decoder"]["output_projection"] = dict(
+        p_eos["decoder"]["output_projection"], bias=jnp.asarray(bias))
+
+    for prm in (p, p_eos):
+        for kw in ({}, {"temperature": 1.1, "rng": jax.random.PRNGKey(7)}):
+            fast = D.greedy_decode_student(prm, feats, cfg, max_length=11,
+                                           early_exit=True, **kw)
+            full = D.greedy_decode_student(prm, feats, cfg, max_length=11,
+                                           early_exit=False, **kw)
+            np.testing.assert_array_equal(np.asarray(fast), np.asarray(full))

@@ -237,3 +237,50 @@ def test_maybe_mesh_refuses_disabled_dp_multiprocess(monkeypatch):
     monkeypatch.setattr(jax, "process_count", lambda: 2)
     with pytest.raises(ValueError, match="data parallelism"):
         common.maybe_mesh(16, enabled=False)
+
+
+def test_dp_beam_serving_matches_single():
+    """DP-sharded beam serving (eval/serving.py) is token-identical to the
+    single-device packed search: captioning is per-image independent, so
+    GSPMD partitioning over the data axis must not change anything."""
+    from imagecaptioner_tpu.eval import serving as SV
+    from imagecaptioner_tpu.ops import decode as D
+
+    img = 32
+    cfg = TeacherConfig(vocab_size=40, embed_size=32, num_heads=4,
+                        num_decoder_layers=2, dropout=0.0, encoder_dim=24,
+                        encoder_depth=1, encoder_heads=3, image_size=img,
+                        patch_size=16)
+    p = TM.teacher_init(jax.random.PRNGKey(0), cfg)
+    images = jax.random.normal(jax.random.PRNGKey(1), (8, 3, img, img))
+
+    mesh = MS.create_mesh(shape=(8, 1))
+    fn = SV.make_dp_beam_captioner(p, cfg, mesh, max_length=8, beam_size=3)
+    seqs_dp, scores_dp, lens_dp = jax.device_get(fn(images))
+
+    memory = TM.encode_image(p, images, cfg)
+    seqs, scores, lens = jax.device_get(D.beam_search_teacher_packed(
+        p, memory, cfg, max_length=8, beam_size=3))
+    np.testing.assert_array_equal(np.asarray(seqs_dp), np.asarray(seqs))
+    np.testing.assert_allclose(np.asarray(scores_dp), np.asarray(scores),
+                               atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(lens_dp), np.asarray(lens))
+
+
+def test_dp_greedy_serving_matches_single():
+    from imagecaptioner_tpu.eval import serving as SV
+    from imagecaptioner_tpu.ops import decode as D
+
+    cfg = compact_student_config(40, embed_size=16, hidden_size=16,
+                                 dropout=0.0)
+    p, s = SM.student_init(jax.random.PRNGKey(0), cfg)
+    images = jax.random.normal(jax.random.PRNGKey(1), (8, 3, 224, 224))
+
+    mesh = MS.create_mesh(shape=(8, 1))
+    fn = SV.make_dp_greedy_captioner(p, s, cfg, mesh, max_length=8)
+    toks_dp = np.asarray(jax.device_get(fn(images)))
+
+    _, refined, _ = SM.encode_image(p, s, images, cfg, train=False)
+    toks = np.asarray(jax.device_get(D.greedy_decode_student(
+        p, refined, cfg, max_length=8)))
+    np.testing.assert_array_equal(toks_dp, toks)

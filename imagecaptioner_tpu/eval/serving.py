@@ -56,7 +56,23 @@ def make_dp_beam_captioner(
             params, memory, cfg, max_length=max_length, beam_size=beam_size,
             length_penalty=length_penalty)
 
-    return fn
+    return _guard_batch(fn, mesh)
+
+
+def _guard_batch(fn, mesh):
+    """Raise a readable error for batch sizes the mesh can't split evenly
+    (GSPMD's own failure is an opaque sharding error)."""
+    n_data = mesh.shape[MX.DATA_AXIS]
+
+    @functools.wraps(fn)
+    def call(images):
+        if images.shape[0] % n_data:
+            raise ValueError(
+                f"batch {images.shape[0]} not divisible by the mesh's "
+                f"data axis ({n_data}); pad the trailing batch to a multiple")
+        return fn(images)
+
+    return call
 
 
 def make_dp_greedy_captioner(
@@ -88,4 +104,4 @@ def make_dp_greedy_captioner(
                                        max_length=max_length,
                                        temperature=temperature)
 
-    return fn
+    return _guard_batch(fn, mesh)

@@ -25,7 +25,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from imagecaptioner_tpu.core.config import (
-    DistillConfig, KDTrainConfig, TeacherConfig, full_student_config)
+    DistillConfig, KDTrainConfig, TeacherConfig, compact_student_config,
+    enhanced_student_config, full_student_config)
 from imagecaptioner_tpu.data.loader import get_loader
 from imagecaptioner_tpu.distill.validate import validate_distillation_setup
 from imagecaptioner_tpu.eval.metrics import monitoring_bleu
@@ -99,6 +100,8 @@ def train_student_with_kd(
     metrics_jsonl: Optional[str] = None,
     freeze_backbone: bool = True,
     use_attention_refinement: bool = True,
+    student_variant: str = "full",
+    student_cfg_overrides: Optional[dict] = None,
     aug=None,
     device_dataset: bool = False,
     stream_steps: int = 8,
@@ -126,13 +129,31 @@ def train_student_with_kd(
     vocab_size = len(vocab)
 
     teacher_params, t_cfg = load_teacher(teacher_checkpoint, vocab_size)
-    # fused Pallas decoder (custom-VJP) on real TPU; lax.scan elsewhere
+    # fused Pallas decoder (custom-VJP) on real TPU; lax.scan elsewhere.
+    # The trainable kernels cover the full (2-layer) and compact (1-layer)
+    # decoders; the enhanced LSTMCell stack always trains via lax.scan.
     import jax as _jax
 
-    s_cfg = full_student_config(
-        vocab_size, dropout=tr.dropout, freeze_backbone=freeze_backbone,
-        use_attention_refinement=use_attention_refinement,
-        decoder_impl="pallas" if _jax.default_backend() == "tpu" else "scan")
+    decoder_impl = "pallas" if _jax.default_backend() == "tpu" else "scan"
+    if student_variant == "full":
+        # reference semantics: the trainer's dropout/refinement knobs are the
+        # full student's (train_student_kd.py:96-111)
+        s_cfg = full_student_config(
+            vocab_size, dropout=tr.dropout, freeze_backbone=freeze_backbone,
+            use_attention_refinement=use_attention_refinement,
+            decoder_impl=decoder_impl)
+    elif student_variant in ("compact", "enhanced"):
+        # reference's run_optimized_training.py:20-22 advertises these
+        # students for KD but never wires them into a trainer; here they are
+        # first-class — variant defaults (core/config.py), same KD machinery
+        factory = (compact_student_config if student_variant == "compact"
+                   else enhanced_student_config)
+        s_cfg = factory(vocab_size, freeze_backbone=freeze_backbone,
+                        decoder_impl=decoder_impl)
+    else:
+        raise ValueError(f"unknown student_variant {student_variant!r}")
+    if student_cfg_overrides:
+        s_cfg = replace(s_cfg, **student_cfg_overrides)
 
     key = jax.random.PRNGKey(seed)
     k_init, k_proj, key = jax.random.split(key, 3)
@@ -377,8 +398,14 @@ def main():
                     default="saved_models/best_teacher_model.npz")
     ap.add_argument("--output-dir", default="saved_models")
     ap.add_argument("--epochs", type=int, default=None)
+    ap.add_argument("--image-size", type=int, default=224)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--resume-from", default=None)
+    ap.add_argument("--student", default="full",
+                    choices=["full", "compact", "enhanced"],
+                    help="student variant to distill into (the reference "
+                         "advertises compact/enhanced but only ever trains "
+                         "the full student here)")
     ap.add_argument("--no-data-parallel", dest="data_parallel",
                     action="store_false",
                     help="force single-device training even with a "
@@ -397,7 +424,8 @@ def main():
     train_student_with_kd(
         args.data_root, args.captions_file, args.teacher_checkpoint,
         args.output_dir, num_epochs=args.epochs, seed=args.seed,
-        resume_from=args.resume_from,
+        image_size=args.image_size,
+        resume_from=args.resume_from, student_variant=args.student,
         device_dataset=args.device_dataset, stream_steps=args.stream_steps,
         data_parallel=args.data_parallel)
 

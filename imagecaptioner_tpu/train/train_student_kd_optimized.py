@@ -25,7 +25,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from imagecaptioner_tpu.core.config import (
-    OptimizedDistillConfig, OptimizedKDTrainConfig, compact_student_config)
+    OptimizedDistillConfig, OptimizedKDTrainConfig, compact_student_config,
+    enhanced_student_config, full_student_config)
 from imagecaptioner_tpu.data import transforms as T
 from imagecaptioner_tpu.data.loader import get_loader
 from imagecaptioner_tpu.distill.projector import create_feature_projectors
@@ -54,6 +55,8 @@ def train_student_with_kd_optimized(
     resume_from: Optional[str] = None,
     device_dataset: bool = False,
     stream_steps: int = 8,
+    student_variant: str = "compact",
+    student_cfg_overrides: Optional[dict] = None,
     verbose: bool = True,
 ):
     tr = train_cfg or OptimizedKDTrainConfig()
@@ -80,17 +83,29 @@ def train_student_with_kd_optimized(
     vocab_size = len(vocab)
 
     teacher_params, t_cfg = load_teacher(teacher_checkpoint, vocab_size)
-    # fused Pallas decoder (custom-VJP, 1-layer compact kernel) on real TPU
-    s_cfg = compact_student_config(
+    # fused Pallas decoder (custom-VJP, 1-layer compact / 2-layer full
+    # kernels) on real TPU; the enhanced LSTMCell stack trains via lax.scan.
+    # The reference's optimized trainer hardcodes the compact student
+    # (train_student_kd_optimized.py:308-315) while run_optimized_training
+    # advertises the enhanced one (:20-22, never wired); here the variant is
+    # a first-class argument.
+    factory = {"compact": compact_student_config,
+               "full": full_student_config,
+               "enhanced": enhanced_student_config}.get(student_variant)
+    if factory is None:
+        raise ValueError(f"unknown student_variant {student_variant!r}")
+    s_cfg = factory(
         vocab_size,
         decoder_impl="pallas" if jax.default_backend() == "tpu" else "scan")
+    if student_cfg_overrides:
+        s_cfg = replace(s_cfg, **student_cfg_overrides)
 
     key = jax.random.PRNGKey(seed)
     k_init, k_proj, key = jax.random.split(key, 3)
     s_params, s_state = SM.student_init(k_init, s_cfg)
     if verbose:
         n = SM.count_parameters(s_params)
-        print(f"Compact student parameters: {n:,} "
+        print(f"{s_cfg.variant.capitalize()} student parameters: {n:,} "
               f"(compression vs 25M teacher: {25e6 / n:.2f}x)")
 
     projectors, _ = create_feature_projectors(
@@ -349,8 +364,14 @@ def main():
                     default="saved_models/best_teacher_model.npz")
     ap.add_argument("--output-dir", default="saved_models")
     ap.add_argument("--epochs", type=int, default=None)
+    ap.add_argument("--image-size", type=int, default=224)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--resume-from", default=None)
+    ap.add_argument("--student", default="compact",
+                    choices=["compact", "full", "enhanced"],
+                    help="student variant (reference hardcodes compact; "
+                         "run_optimized_training.py:20-22 advertises "
+                         "enhanced without wiring it)")
     ap.add_argument("--no-data-parallel", dest="data_parallel",
                     action="store_false",
                     help="force single-device training even with a "
@@ -369,7 +390,8 @@ def main():
     train_student_with_kd_optimized(
         args.data_root, args.captions_file, args.teacher_checkpoint,
         args.output_dir, num_epochs=args.epochs, seed=args.seed,
-        resume_from=args.resume_from,
+        image_size=args.image_size,
+        resume_from=args.resume_from, student_variant=args.student,
         device_dataset=args.device_dataset, stream_steps=args.stream_steps,
         data_parallel=args.data_parallel)
 

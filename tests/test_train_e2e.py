@@ -157,6 +157,44 @@ def test_kd_training_device_dataset(teacher_run):
     assert len(hist["train_losses"]) == 1
 
 
+def test_kd_training_enhanced_variant(teacher_run):
+    """student_variant='enhanced' trains end-to-end through the flagship KD
+    trainer (the reference advertises enhanced KD in
+    run_optimized_training.py:20-22 but never wires it into a trainer): the
+    checkpoint records model_type='enhanced' and the trained student decodes
+    captions through the generic greedy loop."""
+    from imagecaptioner_tpu.train.train_student_kd import train_student_with_kd
+
+    workdir, out, *_ = teacher_run
+    out2 = str(workdir / "enhanced_models")
+    state, s_cfg, vocab = train_student_with_kd(
+        data_root=str(workdir / "data"),
+        teacher_checkpoint=f"{out}/best_teacher_model.npz",
+        output_dir=out2,
+        train_cfg=KDTrainConfig(batch_size=8, accumulation_steps=2,
+                                num_epochs=1, validate_every=1),
+        image_size=64, max_caption_len=16, compute_dtype=jnp.float32,
+        max_steps_per_epoch=2, student_variant="enhanced",
+        student_cfg_overrides=dict(embed_size=32, hidden_size=48,
+                                   num_layers=2, dropout=0.0),
+        verbose=False)
+    assert s_cfg.variant == "enhanced" and s_cfg.feature_tokens == 64
+    ckpt = CKPT.load_checkpoint(f"{out2}/best_student_model.npz")
+    assert ckpt["model_config"]["model_type"] == "enhanced"
+    assert np.isfinite(ckpt["val_loss"])
+    hist = json.load(open(f"{out2}/student_training_history.json"))
+    assert np.isfinite(hist["train_losses"]).all()
+    params = jax.tree.map(jnp.asarray, ckpt["student_state_dict"]["params"])
+    mstate = jax.tree.map(jnp.asarray,
+                          ckpt["student_state_dict"]["model_state"])
+    rng = np.random.default_rng(0)
+    imgs_u8 = jnp.asarray(rng.integers(0, 255, (2, 64, 64, 3), dtype=np.uint8))
+    _, refined, _ = SM.encode_image(params, mstate, T.normalize(imgs_u8),
+                                    s_cfg, train=False)
+    toks = D.greedy_decode_student(params, refined, s_cfg, max_length=10)
+    assert toks.shape == (2, 10)
+
+
 def test_optimized_kd_training(teacher_run):
     from imagecaptioner_tpu.train.train_student_kd_optimized import (
         train_student_with_kd_optimized)

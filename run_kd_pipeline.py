@@ -57,6 +57,9 @@ def main():
                     default="saved_models/best_teacher_model.npz")
     ap.add_argument("--output-dir", default="saved_models")
     ap.add_argument("--epochs", type=int, default=None)
+    ap.add_argument("--student", default="full",
+                    choices=["full", "compact", "enhanced"],
+                    help="student variant, passed through to the trainer")
     ap.add_argument("--max-samples", type=int, default=100)
     ap.add_argument("--skip-eval", action="store_true")
     args = ap.parse_args()
@@ -73,7 +76,8 @@ def main():
                "--data-root", args.data_root,
                "--captions-file", captions,
                "--teacher-checkpoint", args.teacher_checkpoint,
-               "--output-dir", args.output_dir]
+               "--output-dir", args.output_dir,
+               "--student", args.student]
     if args.epochs is not None:
         kd_args += ["--epochs", str(args.epochs)]
     if not run_command(kd_args, "Step 1/2: Knowledge-distillation training"):

@@ -38,11 +38,19 @@ def host_cpu_tag() -> str:
     XLA's target preferences (``prefer-no-scatter``/``prefer-no-gather``)
     follow the CPU model, so two hosts with identical flags can still write
     mutually unloadable AOT entries (observed r3: same-flag hosts tripping
-    the cpu_aot_loader mismatch inside one tag dir)."""
+    the cpu_aot_loader mismatch inside one tag dir).
+
+    The key ALSO includes the boot id: observed a third mismatch where model
+    name and cpuinfo flags were byte-identical across the migration and only
+    XLA's internal target features differed — nothing in /proc/cpuinfo can
+    distinguish such hosts, so the tag treats every boot as a new machine.
+    Costs a cold cache after each container migration/restart (exactly when
+    the corruption appears); stale tags from earlier boots are pruned by
+    :func:`cpu_cache_dir`."""
     import hashlib
     import platform
 
-    model, flags = "", ""
+    model, flags, boot = "", "", ""
     try:
         with open("/proc/cpuinfo") as f:
             for line in f:
@@ -54,15 +62,30 @@ def host_cpu_tag() -> str:
                     break
     except OSError:
         pass
-    key = f"{model}|{flags}" if (model or flags) else platform.processor()
+    try:
+        with open("/proc/sys/kernel/random/boot_id") as f:
+            boot = f.read().strip()
+    except OSError:
+        pass
+    key = (f"{model}|{flags}|{boot}" if (model or flags)
+           else f"{platform.processor()}|{boot}")
     return hashlib.sha1(key.encode()).hexdigest()[:10]
 
 
 def cpu_cache_dir(base: str = None) -> str:
     """Machine-keyed compile-cache dir for CPU-backend processes
-    (tests, the multichip dryrun, benchmark config #1)."""
+    (tests, the multichip dryrun, benchmark config #1).  Prunes tag dirs
+    from earlier boots — their AOT entries can never be valid again and a
+    stale load risks SIGILL (see :func:`host_cpu_tag`)."""
     base = base or os.environ.get("IC_JAX_CACHE_CPU", "/tmp/ic_jax_cache_cpu")
-    return f"{base}-{host_cpu_tag()}"
+    tag = host_cpu_tag()
+    import glob
+    import shutil
+
+    for stale in glob.glob(f"{base}-*"):
+        if not stale.endswith(f"-{tag}"):
+            shutil.rmtree(stale, ignore_errors=True)
+    return f"{base}-{tag}"
 
 
 def profile_trace(log_dir: str = "/tmp/ic_profile"):

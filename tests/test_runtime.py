@@ -14,11 +14,30 @@ def test_host_cpu_tag_stable_and_short():
     assert len(a) == 10 and a.isalnum()
 
 
-def test_cpu_cache_dir_is_machine_keyed(monkeypatch):
+def test_cpu_cache_dir_is_machine_keyed(monkeypatch, tmp_path):
     monkeypatch.delenv("IC_JAX_CACHE_CPU", raising=False)
     d = cpu_cache_dir()
     assert d.startswith("/tmp/ic_jax_cache_cpu-")
     assert d.endswith(host_cpu_tag())
-    assert cpu_cache_dir("/x/y") == f"/x/y-{host_cpu_tag()}"
-    monkeypatch.setenv("IC_JAX_CACHE_CPU", "/env/base")
-    assert cpu_cache_dir() == f"/env/base-{host_cpu_tag()}"
+    base = str(tmp_path / "cache")
+    assert cpu_cache_dir(base) == f"{base}-{host_cpu_tag()}"
+    monkeypatch.setenv("IC_JAX_CACHE_CPU", str(tmp_path / "envbase"))
+    assert cpu_cache_dir() == f"{tmp_path}/envbase-{host_cpu_tag()}"
+
+
+def test_cpu_cache_dir_prunes_stale_boot_tags(tmp_path):
+    """Tag dirs from earlier boots are unloadable AOT garbage (SIGILL risk,
+    observed 3x this round) — cpu_cache_dir deletes them."""
+    import os
+
+    base = str(tmp_path / "cache")
+    stale = f"{base}-deadbeef00"
+    os.makedirs(stale)
+    open(f"{stale}/entry", "w").write("x")
+    d = cpu_cache_dir(base)
+    assert not os.path.exists(stale)
+    assert d == f"{base}-{host_cpu_tag()}"
+    # the live tag dir (if present) is never pruned
+    os.makedirs(d)
+    assert os.path.isdir(cpu_cache_dir(base))
+    assert os.path.isdir(d)

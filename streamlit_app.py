@@ -13,6 +13,14 @@ Reference behaviors preserved:
 streamlit is optional in this image; without it, ``demo_caption_image`` gives
 the same functionality programmatically and ``python streamlit_app.py
 <image>`` runs a one-shot CLI demo.
+
+Beyond the reference: pass a REAL distilled student checkpoint (CLI
+``--student-checkpoint`` / env ``IC_DEMO_STUDENT``) and the student column
+runs the actual student (any variant, rebuilt from the checkpoint's
+``model_type``) — beam/argmax at T=1.0, multinomial sampling otherwise.
+The reference demo never does this ("in a real scenario you would load the
+distilled student", streamlit_app.py:71-75); its teacher-as-student quirk
+remains the default.
 """
 
 from __future__ import annotations
@@ -37,15 +45,42 @@ DEFAULT_CKPT = "saved_models/best_teacher_model.npz"
 DEFAULT_VOCAB = "saved_models/vocab.json"
 
 
+def _load_student(student_checkpoint: str):
+    """Rebuild a trained student from its checkpoint (same dispatch as
+    eval/evaluate_student.py:279-287).  Returns (params, cfg, model_state)."""
+    from imagecaptioner_tpu.core.config import (
+        compact_student_config, enhanced_student_config, full_student_config)
+
+    ckpt = CKPT.load_checkpoint(student_checkpoint)
+    mc = dict(ckpt.get("model_config", {}))
+    variant = mc.pop("model_type", "full")
+    factory = {"full": full_student_config, "compact": compact_student_config,
+               "enhanced": enhanced_student_config}[variant]
+    cfg = factory(int(ckpt["vocab_size"]), **mc)
+    params = jax.tree.map(jnp.asarray, ckpt["student_state_dict"]["params"])
+    mstate = jax.tree.map(jnp.asarray,
+                          ckpt["student_state_dict"]["model_state"])
+    return params, cfg, mstate
+
+
 def load_models_and_vocab(checkpoint_path: str = DEFAULT_CKPT,
-                          vocab_path: str = DEFAULT_VOCAB):
+                          vocab_path: str = DEFAULT_VOCAB,
+                          student_checkpoint: Optional[str] = None):
+    """``student_checkpoint`` (or env IC_DEMO_STUDENT): load a real distilled
+    student for the student column; default preserves the reference's
+    teacher-as-student demo quirk."""
     vocab = Vocabulary.load(vocab_path)
     ckpt = CKPT.load_checkpoint(checkpoint_path)
     cfg = TeacherConfig(vocab_size=int(ckpt["vocab_size"]),
                         **ckpt.get("model_config", {}))
     params = jax.tree.map(jnp.asarray, ckpt["model_state_dict"]["params"])
     teacher = (params, cfg)
-    student = teacher  # the reference demo reuses the teacher (:71-75)
+    student_checkpoint = student_checkpoint or os.environ.get(
+        "IC_DEMO_STUDENT") or None
+    if student_checkpoint:
+        student = _load_student(student_checkpoint)
+    else:
+        student = teacher  # the reference demo reuses the teacher (:71-75)
     return teacher, student, vocab
 
 
@@ -59,7 +94,23 @@ def generate_caption_with_temperature(
     temperature: float = 1.0, max_length: int = 25,
     seed: int = 0,
 ) -> str:
-    """T==1.0 -> beam search; else multinomial sampling (streamlit_app.py:104-221)."""
+    """T==1.0 -> beam search; else multinomial sampling (streamlit_app.py:104-221).
+
+    A 3-tuple ``model`` is a real student (params, cfg, model_state): its
+    native greedy path at T=1.0 (the student has no beam search —
+    student_model.py:314), sampled decode otherwise."""
+    if len(model) == 3:
+        from imagecaptioner_tpu.models import student as SM
+
+        params, cfg, mstate = model
+        _, refined, _ = SM.encode_image(params, mstate, image_nchw, cfg,
+                                        train=False)
+        rng = (None if temperature == 1.0
+               else jax.random.PRNGKey(seed))
+        toks = D.greedy_decode_student(
+            params, refined, cfg, max_length=max_length,
+            temperature=temperature, rng=rng)
+        return D.tokens_to_caption(np.asarray(toks[0]), vocab)
     params, cfg = model
     memory = TM.encode_image(params, image_nchw, cfg)
     if temperature == 1.0:
@@ -74,8 +125,10 @@ def generate_caption_with_temperature(
 
 
 def demo_caption_image(image_path: str, *, checkpoint_path: str = DEFAULT_CKPT,
-                       vocab_path: str = DEFAULT_VOCAB, seed: int = 0):
-    teacher, student, vocab = load_models_and_vocab(checkpoint_path, vocab_path)
+                       vocab_path: str = DEFAULT_VOCAB, seed: int = 0,
+                       student_checkpoint: Optional[str] = None):
+    teacher, student, vocab = load_models_and_vocab(
+        checkpoint_path, vocab_path, student_checkpoint=student_checkpoint)
     image = preprocess_image(Image.open(image_path),
                              image_size=teacher[1].image_size)
     return {
@@ -96,12 +149,21 @@ _SESSION_KEYS = ("generate_both", "student_done", "teacher_done",
                  "teacher_caption_result")
 
 
-def _model_info_lines(name: str, params) -> List[str]:
+def _model_info_lines(name: str, model) -> List[str]:
+    params = model[0]
     if name == "teacher":
         return ["**Architecture:** Vision Transformer",
                 f"**Parameters:** ~{TM.count_parameters(params) / 1e6:.0f}M",
                 "**Encoder:** ViT-Small",
                 "**Decoder:** 4-layer Transformer"]
+    if len(model) == 3:  # real distilled student loaded
+        cfg = model[1]
+        enc = {"full": "ResNet-50", "compact": "MobileNetV2",
+               "enhanced": "EfficientNet-B3"}[cfg.variant]
+        return [f"**Architecture:** CNN-LSTM ({cfg.variant} student)",
+                f"**Parameters:** ~{TM.count_parameters(params) / 1e6:.1f}M",
+                f"**Encoder:** {enc}",
+                f"**Decoder:** {cfg.num_layers}-layer LSTM"]
     return ["**Architecture:** CNN-LSTM (demo: teacher @ T=1.1)",
             "**Parameters:** ~8M (3x smaller)",
             "**Encoder:** ResNet-50",
@@ -176,7 +238,7 @@ def streamlit_main():
             st.markdown(f'*"{caption}"*')
             st.info(f"📝 Words: {len(caption.split())}")
             with st.expander("📊 Model Info"):
-                for line in _model_info_lines(name, model[0]):
+                for line in _model_info_lines(name, model):
                     st.write(line)
 
         if pending:
@@ -228,8 +290,14 @@ def streamlit_main():
 
 
 def main():
-    if len(sys.argv) > 1 and os.path.exists(sys.argv[1]):
-        out = demo_caption_image(sys.argv[1])
+    argv = list(sys.argv[1:])
+    student_ckpt = None
+    if "--student-checkpoint" in argv:
+        i = argv.index("--student-checkpoint")
+        student_ckpt = argv[i + 1]
+        del argv[i:i + 2]
+    if argv and os.path.exists(argv[0]):
+        out = demo_caption_image(argv[0], student_checkpoint=student_ckpt)
         print(f"Teacher (beam):        {out['teacher']}")
         print(f"Student (T=1.1 sample): {out['student']}")
         return

@@ -202,3 +202,50 @@ def test_no_models_shows_error(app, monkeypatch):
     st = FakeSt()
     assert _run(app, st) is None
     assert any(name == "error" for name, _ in st.calls)
+
+
+def test_real_student_checkpoint_in_demo(app, tmp_path, monkeypatch):
+    """Beyond-reference: IC_DEMO_STUDENT / --student-checkpoint puts the REAL
+    distilled student in the student column (the reference demo always reuses
+    the teacher, streamlit_app.py:71-75)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from imagecaptioner_tpu.core.config import compact_student_config
+    from imagecaptioner_tpu.models import student as SM
+    from imagecaptioner_tpu.utils import checkpoint as CKPT
+
+    from imagecaptioner_tpu.data.vocabulary import Vocabulary
+
+    vocab = Vocabulary.load(str(tmp_path / "vocab.json"))
+    s_cfg = compact_student_config(len(vocab), image_size=32, dropout=0.0)
+    sp, ss = SM.student_init(jax.random.PRNGKey(1), s_cfg)
+    sckpt = str(tmp_path / "student.npz")
+    CKPT.save_checkpoint(sckpt, dict(
+        student_state_dict=dict(params=sp, model_state=ss),
+        vocab_size=len(vocab),
+        model_config=dict(embed_size=s_cfg.embed_size,
+                          hidden_size=s_cfg.hidden_size,
+                          num_layers=s_cfg.num_layers, dropout=0.0,
+                          use_attention_refinement=False,
+                          image_size=32, model_type="compact")))
+
+    teacher, student, v = app.load_models_and_vocab(
+        app.DEFAULT_CKPT, app.DEFAULT_VOCAB, student_checkpoint=sckpt)
+    assert len(student) == 3 and student[1].variant == "compact"
+
+    img = jnp.asarray(np.full((1, 3, 32, 32), 0.1, np.float32))
+    cap_greedy = app.generate_caption_with_temperature(
+        student, img, v, temperature=1.0, max_length=6)
+    cap_sampled = app.generate_caption_with_temperature(
+        student, img, v, temperature=1.1, max_length=6, seed=3)
+    assert isinstance(cap_greedy, str) and isinstance(cap_sampled, str)
+
+    # env-var path used by the streamlit _load()
+    monkeypatch.setenv("IC_DEMO_STUDENT", sckpt)
+    _, student2, _ = app.load_models_and_vocab(app.DEFAULT_CKPT,
+                                               app.DEFAULT_VOCAB)
+    assert len(student2) == 3
+    # model-info lines describe the real student, not the demo quirk
+    lines = app._model_info_lines("student", student2)
+    assert any("compact student" in ln for ln in lines)

@@ -19,6 +19,11 @@ def main():
                     default="saved_models/best_teacher_model.npz")
     ap.add_argument("--output-dir", default="saved_models")
     ap.add_argument("--epochs", type=int, default=None)
+    ap.add_argument("--student", default="compact",
+                    choices=["compact", "full", "enhanced"],
+                    help="student variant (the reference advertises the "
+                         "enhanced student here, :20-22, but hardcodes "
+                         "compact in the trainer)")
     args = ap.parse_args()
     captions = args.captions_file or os.path.join(args.data_root,
                                                   "captions_clean.csv")
@@ -41,7 +46,8 @@ def main():
 
         state, s_cfg, vocab = train_student_with_kd_optimized(
             args.data_root, captions, args.teacher_checkpoint,
-            args.output_dir, num_epochs=args.epochs)
+            args.output_dir, num_epochs=args.epochs,
+            student_variant=args.student)
         print("\nExpected improvements vs the unoptimized trainer:")
         print("  ~1.5-2x faster epochs, ~2x faster convergence,")
         print("  ~3-4x student inference speedup vs teacher.")

@@ -114,6 +114,7 @@ def main():
         "config": {"batch": B, "seq": T, "decoder_impl": args.decoder_impl,
                    "teacher_bf16": args.teacher_bf16, "runs": args.runs},
         "by_category": prof["by_category"],
+        "by_source": prof["by_source"][:args.top],
         "top_hlos": prof["by_name"][:args.top],
     }
     with open(args.out, "w") as f:

@@ -19,14 +19,21 @@ pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
                                 reason="needs 8 devices")
 
 
-def _setup():
+def _setup(variant="compact"):
     img = 32
     t_cfg = TeacherConfig(vocab_size=40, embed_size=32, num_heads=4,
                           num_decoder_layers=1, dropout=0.0, encoder_dim=24,
                           encoder_depth=1, encoder_heads=3, image_size=img,
                           patch_size=16)
-    s_cfg = compact_student_config(40, embed_size=16, hidden_size=16,
-                                   dropout=0.0, image_size=img)
+    if variant == "enhanced":
+        from imagecaptioner_tpu.core.config import enhanced_student_config
+
+        s_cfg = enhanced_student_config(40, embed_size=16, hidden_size=16,
+                                        num_layers=2, dropout=0.0,
+                                        image_size=img)
+    else:
+        s_cfg = compact_student_config(40, embed_size=16, hidden_size=16,
+                                       dropout=0.0, image_size=img)
     tr = KDTrainConfig(batch_size=16, accumulation_steps=1, num_epochs=1)
     key = jax.random.PRNGKey(0)
     k1, k2, k3 = jax.random.split(key, 3)
@@ -54,8 +61,9 @@ def _setup():
     return t_cfg, s_cfg, teacher_params, state, step, batch
 
 
-def test_dp_step_matches_single_device():
-    t_cfg, s_cfg, teacher_params, state, step, batch = _setup()
+@pytest.mark.parametrize("variant", ["compact", "enhanced"])
+def test_dp_step_matches_single_device(variant):
+    t_cfg, s_cfg, teacher_params, state, step, batch = _setup(variant)
     rng = jax.random.PRNGKey(5)
 
     # single-device (replicated inputs)
@@ -64,7 +72,7 @@ def test_dp_step_matches_single_device():
     loss_1 = float(metrics_1["total_loss"])
 
     # fresh state (donated buffers), sharded over 8-device mesh
-    t_cfg2, s_cfg2, teacher_params2, state2, step2, batch2 = _setup()
+    t_cfg2, s_cfg2, teacher_params2, state2, step2, batch2 = _setup(variant)
     mesh = MS.create_mesh()
     state2 = MS.replicate(mesh, state2)
     teacher_params2 = MS.replicate(mesh, teacher_params2)

@@ -96,6 +96,15 @@ def measure_jax(num_batches: int) -> dict:
     import imagecaptioner_tpu.core.precision as P
 
     params = P.bf16_compute(params)
+    if os.environ.get("IC_BENCH_INT8", "") == "1":
+        # opt-in int8 serving encoder (ops/quant.py): the bf16 conv stack is
+        # at the MXU roofline, int8 is the remaining throughput lever
+        from imagecaptioner_tpu.ops.quant import (count_quantized,
+                                                  quantize_student_encoder_int8)
+
+        params = quantize_student_encoder_int8(params)
+        print(f"[int8] serving encoder quantized "
+              f"({count_quantized(params)} weights)", file=sys.stderr)
 
     def caption_one(images):
         # canonical dispatcher: fused kernel on TPU with VMEM gate + loud

@@ -89,6 +89,11 @@ def dense(p: Params, x: jnp.ndarray, *, compute_dtype=None) -> jnp.ndarray:
     activations are bf16 (the core of the precision policy — params stay
     fp32 in HBM, matmuls run bf16 on the MXU).
     """
+    if "weight_q" in p:  # int8 serving weights (ops/quant.py)
+        from imagecaptioner_tpu.ops.quant import dense_int8
+
+        return dense_int8(
+            p, x if compute_dtype is None else x.astype(compute_dtype))
     w = p["weight"]
     if compute_dtype is not None:
         x = x.astype(compute_dtype)
@@ -314,6 +319,12 @@ def conv2d(
     groups: int = 1, compute_dtype=None,
 ) -> jnp.ndarray:
     """2-D conv over NHWC input with torch-layout (O, I/g, kH, kW) weight."""
+    if "weight_q" in p:  # int8 serving weights (ops/quant.py)
+        from imagecaptioner_tpu.ops.quant import conv2d_int8
+
+        return conv2d_int8(
+            p, x if compute_dtype is None else x.astype(compute_dtype),
+            stride=stride, padding=padding, groups=groups)
     w = p["weight"]
     if compute_dtype is not None:
         x = x.astype(compute_dtype)

@@ -94,7 +94,8 @@ def _mbconv_apply(p, s, x, *, stride, kernel, use_res, train):
     if "expand" in p:
         y, new_s["expand"] = _conv_bn_apply(p["expand"], s["expand"], y,
                                             train=train)
-    groups = p["depthwise"]["conv"]["weight"].shape[0]
+    dw = p["depthwise"]["conv"]
+    groups = dw.get("weight", dw.get("weight_q")).shape[0]
     y, new_s["depthwise"] = _conv_bn_apply(
         p["depthwise"], s["depthwise"], y, stride=stride,
         padding=kernel // 2, groups=groups, train=train)

@@ -74,7 +74,8 @@ def _inverted_residual_init(key, in_ch, out_ch, t):
 def _inverted_residual_apply(p, s, x, *, stride: int, use_res: bool, train: bool):
     new_s = {}
     y = x
-    hidden_groups = p["depthwise"]["conv"]["weight"].shape[0]
+    dw = p["depthwise"]["conv"]
+    hidden_groups = dw.get("weight", dw.get("weight_q")).shape[0]
     if "expand" in p:
         y, new_s["expand"] = _conv_bn_apply(p["expand"], s["expand"], y,
                                             stride=1, padding=0, groups=1,

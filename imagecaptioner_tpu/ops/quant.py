@@ -1,0 +1,175 @@
+"""Post-training int8 quantization for the serving encoders.
+
+Why: the greedy serving headline is a ResNet-50 forward that already runs at
+the bf16 conv roofline (112 TF/s measured on-chip vs the rig's ~125 TF/s
+bf16 calibration — benchmarks/serving_hlo_profile.json), so the one
+remaining order-unity serving lever on this hardware is the MXU's int8 path
+(v5e: 394 int8 TOPS vs 197 bf16 TFLOP/s).  The reference has no analogue
+(fp16 AMP only, SURVEY §2.9 N5); this is a beyond-parity, opt-in serving
+mode.
+
+Scheme (dynamic PTQ, no calibration set needed):
+  * weights: symmetric per-OUTPUT-CHANNEL int8, scale = amax(|w|, axis=in)/127
+    (torch layouts: conv OIHW -> axis O; dense (out, in) -> axis out)
+  * activations: symmetric per-TENSOR int8, scale computed on the fly
+    (one amax reduce per layer — negligible next to the conv)
+  * accumulate int8 x int8 -> int32 on the MXU, dequantize with
+    s_x * s_w[o], add the f32 bias, return in the activation float dtype
+
+Integration: :func:`quantize_params_int8` rewrites ``{"weight": w}`` param
+dicts in place of selected conv/dense leaves to ``{"weight_q": int8,
+"w_scale": f32}``; ``core.modules.conv2d`` / ``dense`` dispatch on the
+``weight_q`` key, so every backbone (ResNet-50 / MobileNetV2 /
+EfficientNet-B3 / ViT) serves quantized without touching its apply code.
+Training paths never see quantized trees (the transform is applied to a
+serving copy of the params).
+
+BatchNorm, LayerNorm, biases, and the LSTM decoders stay in float: the
+decoders are Pallas-kernel territory and numerically load-bearing
+(argmax over near-tie logits), while the encoder's conv stack is where all
+the FLOPs are (serving_hlo_profile.json: 2.30 of 2.61 ms).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+# weights smaller than this stay float: no measurable speedup, and the tiny
+# layers (SE squeeze, 1x1 shortcuts at low channel counts) are where 8-bit
+# noise is proportionally largest
+MIN_QUANT_ELEMENTS = 4096
+
+
+def quantize_weight_int8(w: jnp.ndarray):
+    """Symmetric per-output-channel int8: returns (w_q int8, scale f32 (O,)).
+
+    Works for conv OIHW (reduce over I,H,W) and dense (out, in) (reduce over
+    in) — axis 0 is the output channel in both torch storage layouts
+    (CLAUDE.md architecture invariant)."""
+    w = w.astype(jnp.float32)
+    reduce_axes = tuple(range(1, w.ndim))
+    amax = jnp.max(jnp.abs(w), axis=reduce_axes)
+    scale = jnp.where(amax > 0, amax / 127.0, 1.0)
+    shaped = scale.reshape((-1,) + (1,) * (w.ndim - 1))
+    w_q = jnp.clip(jnp.round(w / shaped), -127, 127).astype(jnp.int8)
+    return w_q, scale
+
+
+def quantize_activation_int8(x: jnp.ndarray):
+    """Symmetric per-tensor dynamic int8: returns (x_q int8, scale f32 ())."""
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)))
+    scale = jnp.where(amax > 0, amax / 127.0, 1.0)
+    x_q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale),
+                   -127, 127).astype(jnp.int8)
+    return x_q, scale
+
+
+def _is_quantizable(p) -> bool:
+    return (isinstance(p, dict) and "weight" in p
+            and hasattr(p["weight"], "ndim") and p["weight"].ndim in (2, 4)
+            and p["weight"].size >= MIN_QUANT_ELEMENTS)
+
+
+def quantize_params_int8(tree, *, min_elements: Optional[int] = None):
+    """Rewrite every conv/dense ``{"weight": ...}`` dict in ``tree`` to its
+    int8 form ``{"weight_q", "w_scale", [bias]}``.  Returns a new tree; the
+    input is not mutated.  Dicts whose weight is too small (or not 2-/4-D,
+    e.g. LSTM packed weights ride in differently-keyed dicts) pass through
+    unchanged, as do embeddings/norms.
+    """
+    thr = MIN_QUANT_ELEMENTS if min_elements is None else min_elements
+
+    def rewrite(p):
+        if isinstance(p, dict):
+            if ("weight" in p and hasattr(p["weight"], "ndim")
+                    and p["weight"].ndim in (2, 4)
+                    and p["weight"].size >= thr):
+                w_q, scale = quantize_weight_int8(p["weight"])
+                out = {k: v for k, v in p.items() if k != "weight"}
+                out["weight_q"] = w_q
+                out["w_scale"] = scale
+                return out
+            return {k: rewrite(v) for k, v in p.items()}
+        if isinstance(p, (list, tuple)):
+            return type(p)(rewrite(v) for v in p)
+        return p
+
+    return rewrite(tree)
+
+
+def count_quantized(tree) -> int:
+    """Number of int8 weight leaves in a quantized tree (for logging/tests)."""
+    n = 0
+
+    def walk(p):
+        nonlocal n
+        if isinstance(p, dict):
+            if "weight_q" in p:
+                n += 1
+            for v in p.values():
+                walk(v)
+        elif isinstance(p, (list, tuple)):
+            for v in p:
+                walk(v)
+
+    walk(tree)
+    return n
+
+
+def quantize_student_encoder_int8(params):
+    """Serving copy of a student param tree with the CNN ENCODER quantized
+    (the conv stack is ~90% of serving device time); the refinement MHA,
+    decoder, and projectors stay float."""
+    return dict(params, encoder=quantize_params_int8(params["encoder"]))
+
+
+def quantize_teacher_encoder_int8(params):
+    """Serving copy of a teacher param tree with the ViT encoder (patch
+    embed + block projections/MLPs) quantized; the transformer DECODER stays
+    float — beam scores rank near-tie candidates and decode is a small
+    fraction of end-to-end serving time."""
+    return dict(params, encoder=quantize_params_int8(params["encoder"]))
+
+
+def conv2d_int8(
+    p: Dict, x: jnp.ndarray, *, stride: int = 1, padding: int = 0,
+    groups: int = 1,
+) -> jnp.ndarray:
+    """int8 x int8 -> int32 conv with dynamic activation quantization.
+    Drop-in for core.modules.conv2d on a ``weight_q`` param dict: NHWC
+    input, torch OIHW weight, float output in ``x``'s dtype."""
+    out_dtype = x.dtype
+    x_q, s_x = quantize_activation_int8(x)
+    w = jnp.transpose(p["weight_q"], (2, 3, 1, 0))  # OIHW -> HWIO
+    y = jax.lax.conv_general_dilated(
+        x_q, w,
+        window_strides=(stride, stride),
+        padding=[(padding, padding), (padding, padding)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=groups,
+        preferred_element_type=jnp.int32,
+    )
+    y = y.astype(jnp.float32) * (s_x * p["w_scale"])  # (O,) broadcasts on C
+    if "bias" in p:
+        y = y + p["bias"].astype(jnp.float32)
+    return y.astype(out_dtype)
+
+
+def dense_int8(p: Dict, x: jnp.ndarray) -> jnp.ndarray:
+    """int8 x int8 -> int32 matmul with dynamic activation quantization.
+    Drop-in for core.modules.dense on a ``weight_q`` dict ((out, in) torch
+    layout)."""
+    out_dtype = x.dtype
+    x_q, s_x = quantize_activation_int8(x)
+    y = jax.lax.dot_general(
+        x_q, p["weight_q"],
+        dimension_numbers=(((x.ndim - 1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    y = y.astype(jnp.float32) * (s_x * p["w_scale"])
+    if "bias" in p:
+        y = y + p["bias"].astype(jnp.float32)
+    return y.astype(out_dtype)

@@ -28,6 +28,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--which", nargs="+", default=["greedy", "beam"],
                     choices=["greedy", "beam"])
+    ap.add_argument("--int8", action="store_true",
+                    help="quantize the serving encoders (ops/quant.py) and "
+                         "record under 'greedy_int8'/'beam_int8'")
     ap.add_argument("--batch", type=int, default=32, help="greedy batch")
     ap.add_argument("--beam-n", type=int, default=8, help="beam images/call")
     ap.add_argument("--runs", type=int, default=3)
@@ -54,12 +57,21 @@ def main():
 
     V, MAX_LEN = 2994, 20
     out = {}
+    suffix = "_int8" if args.int8 else ""
+    if os.path.exists(args.out):
+        with open(args.out) as f:  # keep the other arms' records
+            out = json.load(f)
 
     if "greedy" in args.which:
         B = args.batch
         cfg = full_student_config(V, dropout=0.0)
         params, state = SM.student_init(jax.random.PRNGKey(0), cfg)
         params = P.bf16_compute(params)
+        if args.int8:
+            from imagecaptioner_tpu.ops.quant import (
+                quantize_student_encoder_int8)
+
+            params = quantize_student_encoder_int8(params)
 
         @jax.jit
         def caption(images):
@@ -80,7 +92,7 @@ def main():
         print(profiling.top_table(prof["by_category"], "category", 12, tot))
         print(profiling.top_table(prof["by_source"], "source", args.top,
                                   tot))
-        out["greedy"] = {
+        out["greedy" + suffix] = {
             "batch": B, "device_ms_per_call": tot / 1e3,
             "device_images_per_sec": B / (tot / 1e6),
             "by_category": prof["by_category"],
@@ -91,6 +103,11 @@ def main():
         N = args.beam_n
         cfg = TeacherConfig(vocab_size=V)
         params = P.bf16_compute(TM.teacher_init(jax.random.PRNGKey(0), cfg))
+        if args.int8:
+            from imagecaptioner_tpu.ops.quant import (
+                quantize_teacher_encoder_int8)
+
+            params = quantize_teacher_encoder_int8(params)
 
         @jax.jit
         def beam(imgs):
@@ -111,7 +128,7 @@ def main():
         print(profiling.top_table(prof["by_category"], "category", 12, tot))
         print(profiling.top_table(prof["by_source"], "source", args.top,
                                   tot))
-        out["beam"] = {
+        out["beam" + suffix] = {
             "images_per_call": N, "device_ms_per_call": tot / 1e3,
             "device_images_per_sec": N / (tot / 1e6),
             "by_category": prof["by_category"],

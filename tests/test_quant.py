@@ -1,0 +1,138 @@
+"""int8 PTQ serving path (ops/quant.py): quantization math, the conv/dense
+dispatch on ``weight_q`` dicts, and end-to-end encoder accuracy bounds.
+
+Beyond-reference capability (the reference serves fp16-AMP at best): the
+serving encoders run int8 on the MXU, opt-in, with the decoders kept float.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from imagecaptioner_tpu.core import modules as M
+from imagecaptioner_tpu.ops import quant as Q
+
+V = 64
+
+
+def test_weight_quant_per_channel_bound():
+    w = jax.random.normal(jax.random.PRNGKey(0), (8, 4, 3, 3)) * \
+        jnp.arange(1, 9).reshape(8, 1, 1, 1)  # very different channel scales
+    w_q, scale = Q.quantize_weight_int8(w)
+    assert w_q.dtype == jnp.int8 and scale.shape == (8,)
+    deq = w_q.astype(jnp.float32) * scale.reshape(8, 1, 1, 1)
+    # symmetric round-to-nearest: per-channel error <= scale/2
+    err = jnp.max(jnp.abs(deq - w), axis=(1, 2, 3))
+    assert bool(jnp.all(err <= scale / 2 + 1e-6))
+
+
+def test_activation_quant_dynamic():
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 5, 5, 3)) * 7.3
+    x_q, s = Q.quantize_activation_int8(x)
+    assert x_q.dtype == jnp.int8
+    assert float(jnp.max(jnp.abs(x_q.astype(jnp.float32) * s - x))) <= float(s) / 2 + 1e-6
+    # all-zero input: scale stays finite
+    zq, zs = Q.quantize_activation_int8(jnp.zeros((4, 4)))
+    assert float(zs) == 1.0 and not bool(jnp.any(zq))
+
+
+def test_conv2d_dispatches_on_weight_q():
+    key = jax.random.PRNGKey(2)
+    p = M.conv2d_init(key, 16, 32, 3)
+    x = jax.random.normal(key, (2, 8, 8, 16))
+    ref = M.conv2d(p, x, stride=1, padding=1)
+    pq = Q.quantize_params_int8(p, min_elements=1)
+    assert "weight_q" in pq and "weight" not in pq
+    out = M.conv2d(pq, x, stride=1, padding=1)  # same entry point
+    direct = Q.conv2d_int8(pq, x, stride=1, padding=1)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(direct),
+                               rtol=0, atol=0)
+    rel = float(jnp.linalg.norm(out - ref) / jnp.linalg.norm(ref))
+    assert rel < 0.02, rel
+
+
+def test_grouped_conv_int8_matches_float():
+    """Depthwise convs (MobileNet/EfficientNet) quantize correctly."""
+    key = jax.random.PRNGKey(3)
+    C = 32
+    p = M.conv2d_init(key, C, C, 3, groups=C)
+    x = jax.random.normal(key, (2, 8, 8, C))
+    ref = M.conv2d(p, x, stride=1, padding=1, groups=C)
+    pq = Q.quantize_params_int8(p, min_elements=1)
+    out = M.conv2d(pq, x, stride=1, padding=1, groups=C)
+    rel = float(jnp.linalg.norm(out - ref) / jnp.linalg.norm(ref))
+    assert rel < 0.03, rel
+
+
+def test_dense_dispatches_on_weight_q():
+    key = jax.random.PRNGKey(4)
+    p = M.linear_init(key, 64, 128)
+    x = jax.random.normal(key, (5, 64))
+    ref = M.dense(p, x)
+    pq = Q.quantize_params_int8(p, min_elements=1)
+    out = M.dense(pq, x)
+    rel = float(jnp.linalg.norm(out - ref) / jnp.linalg.norm(ref))
+    assert rel < 0.02, rel
+    # bf16 activations keep their dtype through the int8 path
+    out16 = M.dense(pq, x.astype(jnp.bfloat16))
+    assert out16.dtype == jnp.bfloat16
+
+
+def test_small_and_nonmatrix_leaves_pass_through():
+    tree = {
+        "tiny": M.linear_init(jax.random.PRNGKey(5), 4, 4),       # 16 elems
+        "norm": M.layer_norm_init(8),
+        "big": M.linear_init(jax.random.PRNGKey(6), 128, 64),
+    }
+    q = Q.quantize_params_int8(tree)  # default threshold
+    assert "weight" in q["tiny"] and "weight_q" not in q["tiny"]
+    assert "weight_q" in q["big"]
+    assert Q.count_quantized(q) == 1
+    # input tree untouched
+    assert "weight" in tree["big"]
+
+
+@pytest.mark.parametrize("variant", ["full", "compact"])
+def test_student_encoder_int8_accuracy_and_decode(variant):
+    """Quantized encoder features stay within a few percent of f32 and the
+    greedy decode still runs end-to-end through the unchanged entry points.
+    (Measured at random init: full 1.8%, compact ~3%; bound is loose.)"""
+    from imagecaptioner_tpu.core.config import (compact_student_config,
+                                                full_student_config)
+    from imagecaptioner_tpu.models import student as SM
+    from imagecaptioner_tpu.ops import decode as D
+
+    factory = (full_student_config if variant == "full"
+               else compact_student_config)
+    cfg = factory(V, dropout=0.0, image_size=64)
+    p, s = SM.student_init(jax.random.PRNGKey(0), cfg)
+    pq = Q.quantize_student_encoder_int8(p)
+    assert Q.count_quantized(pq) >= 20
+    # decoder/refinement/projection stay float
+    assert Q.count_quantized({"d": pq["decoder"]}) == 0
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 3, 64, 64)) * 0.5
+    _, ref_f, _ = SM.encode_image(p, s, x, cfg, train=False)
+    _, ref_q, _ = SM.encode_image(pq, s, x, cfg, train=False)
+    rel = float(jnp.linalg.norm(ref_q - ref_f) / jnp.linalg.norm(ref_f))
+    assert rel < 0.10, rel
+    toks = D.greedy_decode_student(pq, ref_q, cfg, max_length=6)
+    assert toks.shape == (2, 6)
+    assert bool(jnp.all((toks >= 0) & (toks < V)))
+
+
+def test_teacher_encoder_int8_accuracy():
+    from imagecaptioner_tpu.core.config import TeacherConfig
+    from imagecaptioner_tpu.models import teacher as TM
+
+    cfg = TeacherConfig(vocab_size=V, embed_size=64, num_heads=4,
+                        num_decoder_layers=1, dropout=0.0, encoder_dim=48,
+                        encoder_depth=2, encoder_heads=4, image_size=64)
+    p = TM.teacher_init(jax.random.PRNGKey(0), cfg)
+    pq = Q.quantize_teacher_encoder_int8(p)
+    assert Q.count_quantized(pq) >= 4  # patch embed + block projections
+    img = jax.random.normal(jax.random.PRNGKey(1), (2, 3, 64, 64)) * 0.5
+    m_f = TM.encode_image(p, img, cfg)
+    m_q = TM.encode_image(pq, img, cfg)
+    rel = float(jnp.linalg.norm(m_q - m_f) / jnp.linalg.norm(m_f))
+    assert rel < 0.10, rel

@@ -59,11 +59,15 @@ def quantize_weight_int8(w: jnp.ndarray):
 
 
 def quantize_activation_int8(x: jnp.ndarray):
-    """Symmetric per-tensor dynamic int8: returns (x_q int8, scale f32 ())."""
-    amax = jnp.max(jnp.abs(x.astype(jnp.float32)))
+    """Symmetric per-EXAMPLE dynamic int8: returns (x_q int8, scale f32
+    (B, 1, ..., 1)).  Per-example rather than per-tensor for two reasons:
+    tighter scales (an outlier image doesn't coarsen its batchmates'
+    quantization), and under batch-over-'data' DP sharding the amax reduces
+    shard-locally — no cross-device collective per quantized layer."""
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=tuple(range(1, x.ndim)), keepdims=True)
     scale = jnp.where(amax > 0, amax / 127.0, 1.0)
-    x_q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale),
-                   -127, 127).astype(jnp.int8)
+    x_q = jnp.clip(jnp.round(xf / scale), -127, 127).astype(jnp.int8)
     return x_q, scale
 
 

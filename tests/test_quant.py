@@ -27,14 +27,19 @@ def test_weight_quant_per_channel_bound():
     assert bool(jnp.all(err <= scale / 2 + 1e-6))
 
 
-def test_activation_quant_dynamic():
+def test_activation_quant_dynamic_per_example():
     x = jax.random.normal(jax.random.PRNGKey(1), (2, 5, 5, 3)) * 7.3
+    # example 1 has 10x the range of example 0: per-example scales differ
+    x = x * jnp.asarray([1.0, 10.0]).reshape(2, 1, 1, 1)
     x_q, s = Q.quantize_activation_int8(x)
-    assert x_q.dtype == jnp.int8
-    assert float(jnp.max(jnp.abs(x_q.astype(jnp.float32) * s - x))) <= float(s) / 2 + 1e-6
+    assert x_q.dtype == jnp.int8 and s.shape == (2, 1, 1, 1)
+    assert float(s[1, 0, 0, 0]) > 5 * float(s[0, 0, 0, 0])
+    err = jnp.max(jnp.abs(x_q.astype(jnp.float32) * s - x),
+                  axis=(1, 2, 3), keepdims=True)
+    assert bool(jnp.all(err <= s / 2 + 1e-6))
     # all-zero input: scale stays finite
     zq, zs = Q.quantize_activation_int8(jnp.zeros((4, 4)))
-    assert float(zs) == 1.0 and not bool(jnp.any(zq))
+    assert bool(jnp.all(zs == 1.0)) and not bool(jnp.any(zq))
 
 
 def test_conv2d_dispatches_on_weight_q():
@@ -91,6 +96,11 @@ def test_small_and_nonmatrix_leaves_pass_through():
     assert Q.count_quantized(q) == 1
     # input tree untouched
     assert "weight" in tree["big"]
+    # bf16 trees quantize too (bench.py casts params bf16 before quantizing)
+    bf = jax.tree.map(lambda x: x.astype(jnp.bfloat16), tree)
+    qbf = Q.quantize_params_int8(bf)
+    assert qbf["big"]["weight_q"].dtype == jnp.int8
+    assert qbf["big"]["w_scale"].dtype == jnp.float32
 
 
 @pytest.mark.parametrize("variant", ["full", "compact"])
@@ -119,6 +129,34 @@ def test_student_encoder_int8_accuracy_and_decode(variant):
     toks = D.greedy_decode_student(pq, ref_q, cfg, max_length=6)
     assert toks.shape == (2, 6)
     assert bool(jnp.all((toks >= 0) & (toks < V)))
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_int8_composes_with_dp_serving():
+    """Quantized params replicate over the mesh and the DP-sharded greedy
+    captioner is token-identical to single-device int8: per-EXAMPLE
+    activation scales reduce shard-locally, so GSPMD partitioning over the
+    data axis changes nothing."""
+    from imagecaptioner_tpu.core import mesh as MS
+    from imagecaptioner_tpu.core.config import compact_student_config
+    from imagecaptioner_tpu.eval import serving as SV
+    from imagecaptioner_tpu.models import student as SM
+    from imagecaptioner_tpu.ops import decode as D
+
+    cfg = compact_student_config(V, embed_size=16, hidden_size=16,
+                                 dropout=0.0, image_size=64)
+    p, s = SM.student_init(jax.random.PRNGKey(0), cfg)
+    pq = Q.quantize_student_encoder_int8(p)
+    images = jax.random.normal(jax.random.PRNGKey(1), (8, 3, 64, 64))
+
+    mesh = MS.create_mesh(shape=(8, 1))
+    fn = SV.make_dp_greedy_captioner(pq, s, cfg, mesh, max_length=8)
+    toks_dp = np.asarray(jax.device_get(fn(images)))
+
+    _, refined, _ = SM.encode_image(pq, s, images, cfg, train=False)
+    toks = np.asarray(jax.device_get(D.greedy_decode_student(
+        pq, refined, cfg, max_length=8)))
+    np.testing.assert_array_equal(toks_dp, toks)
 
 
 def test_teacher_encoder_int8_accuracy():

@@ -1,0 +1,120 @@
+#!/usr/bin/env python
+"""int8-vs-f32 caption QUALITY on converged checkpoints (CPU-runnable).
+
+Loads a converged teacher + full student from a ``benchmarks/run_all.py
+--configs 5 --converged`` workdir, captions the first N dataset images with
+the float and the int8-encoder (ops/quant.py) models, and records caption
+agreement + BLEU-1 for both serving paths.  This is the accuracy half of
+the int8 serving story; the throughput half is
+``scripts/profile_serving_hlo.py --int8`` on the chip.
+
+Recorded result (benchmarks/int8_quality.json, reference-recipe workdir):
+teacher beam 31/32 captions identical, BLEU-1 0.8542 -> 0.8507; student
+greedy 32/32 identical, BLEU-1 0.6563 unchanged.
+
+Usage: python scripts/bench_int8_quality.py
+         [--workdir /tmp/ic_converged_ref] [--recipe reference] [--n 32]
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--workdir", default="/tmp/ic_converged_ref")
+    ap.add_argument("--recipe", default="reference")
+    ap.add_argument("--n", type=int, default=32)
+    ap.add_argument("--out", default=os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "benchmarks", "int8_quality.json"))
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from PIL import Image
+
+    from imagecaptioner_tpu.core.config import (TeacherConfig,
+                                                full_student_config)
+    from imagecaptioner_tpu.data import transforms as T
+    from imagecaptioner_tpu.data.vocabulary import Vocabulary
+    from imagecaptioner_tpu.eval.metrics import bleu_n
+    from imagecaptioner_tpu.models import student as SM
+    from imagecaptioner_tpu.models import teacher as TM
+    from imagecaptioner_tpu.ops import decode as D
+    from imagecaptioner_tpu.ops import quant as Q
+    from imagecaptioner_tpu.utils import checkpoint as CKPT
+
+    out_dir = os.path.join(args.workdir, f"saved_models_{args.recipe}")
+    vocab = Vocabulary.load(os.path.join(out_dir, "vocab.json"))
+
+    ck = CKPT.load_checkpoint(os.path.join(out_dir, "best_teacher_model.npz"))
+    t_cfg = TeacherConfig(vocab_size=int(ck["vocab_size"]),
+                          **ck.get("model_config", {}))
+    tp = jax.tree.map(jnp.asarray, ck["model_state_dict"]["params"])
+
+    sck = CKPT.load_checkpoint(os.path.join(out_dir, "best_student_model.npz"))
+    mc = dict(sck["model_config"])
+    mc.pop("model_type", None)
+    s_cfg = full_student_config(int(sck["vocab_size"]), **mc)
+    sp = jax.tree.map(jnp.asarray, sck["student_state_dict"]["params"])
+    ss = jax.tree.map(jnp.asarray, sck["student_state_dict"]["model_state"])
+
+    refs = {}
+    with open(os.path.join(args.workdir, "data", "captions_clean.csv")) as f:
+        for row in csv.DictReader(f):
+            refs.setdefault(row["image"], []).append(row["caption"])
+    names = sorted(refs)[:args.n]
+    imgs = [np.asarray(
+        Image.open(os.path.join(args.workdir, "data", "Images", n))
+        .convert("RGB").resize((t_cfg.image_size,) * 2, Image.BILINEAR),
+        np.uint8) for n in names]
+    images = T.normalize(jnp.asarray(np.stack(imgs)))
+
+    def teacher_caps(params):
+        memory = TM.encode_image(params, images, t_cfg)
+        seqs, scores, _ = D.beam_search_teacher_packed(
+            params, memory, t_cfg, max_length=20, beam_size=5)
+        return [D.beam_result_to_captions(seqs[i], scores[i], vocab, 1)[0]
+                for i in range(len(names))]
+
+    def student_caps(params):
+        _, refined, _ = SM.encode_image(params, ss, images, s_cfg,
+                                        train=False)
+        toks = D.greedy_decode_student(params, refined, s_cfg, max_length=20)
+        return [D.tokens_to_caption(np.asarray(toks[i]), vocab)
+                for i in range(len(names))]
+
+    def bleu(caps):
+        return float(np.mean([
+            max(bleu_n(c.split(), r.split(), 1) for r in refs[n])
+            for c, n in zip(caps, names)]))
+
+    res = {"workdir": args.workdir, "recipe": args.recipe,
+           "n_images": len(names)}
+    for tag, fn, p, pq in [
+            ("teacher_beam", teacher_caps, tp,
+             Q.quantize_teacher_encoder_int8(tp)),
+            ("student_greedy", student_caps, sp,
+             Q.quantize_student_encoder_int8(sp))]:
+        c_f, c_q = fn(p), fn(pq)
+        res[tag] = {
+            "identical_captions": sum(a == b for a, b in zip(c_f, c_q)),
+            "bleu1_f32": bleu(c_f), "bleu1_int8": bleu(c_q),
+        }
+        print(tag, res[tag])
+    with open(args.out, "w") as f:
+        json.dump(res, f, indent=1)
+    print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()

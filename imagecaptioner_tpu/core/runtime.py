@@ -27,7 +27,7 @@ def enable_compile_cache(path: str = None) -> None:
         pass  # older jax without the knobs
 
 
-def host_cpu_tag() -> str:
+def host_cpu_tag(axon_loaded=None) -> str:
     """Short stable hash of this host's CPU model + feature flags.
 
     XLA:CPU AOT cache entries bake in the compile host's feature set; loading
@@ -46,10 +46,27 @@ def host_cpu_tag() -> str:
     distinguish such hosts, so the tag treats every boot as a new machine.
     Costs a cold cache after each container migration/restart (exactly when
     the corruption appears); stale tags from earlier boots are pruned by
-    :func:`cpu_cache_dir`."""
+    :func:`cpu_cache_dir`.
+
+    AND the key includes whether the axon TPU plugin is loaded in this
+    process: measured WITHIN one boot that axon-registered processes emit
+    XLA:CPU AOT entries with ``+prefer-no-scatter/+prefer-no-gather`` target
+    features while clean-CPU processes emit without them (libtpu
+    registration flips process-global XLA codegen flags), so the two
+    populations must not share a dir — this, not host migration, explains
+    the recurring same-cpuinfo mismatches.
+
+    ``axon_loaded``: None (default) detects from ``sys.modules``;
+    :func:`cpu_cache_dir` passes explicit values to enumerate this boot's
+    valid tags for pruning."""
     import hashlib
     import platform
+    import sys
 
+    if axon_loaded is None:
+        axon_loaded = any(m == "axon" or m.startswith("axon.")
+                          for m in sys.modules)
+    axon = "axon" if axon_loaded else "clean"
     model, flags, boot = "", "", ""
     try:
         with open("/proc/cpuinfo") as f:
@@ -67,8 +84,8 @@ def host_cpu_tag() -> str:
             boot = f.read().strip()
     except OSError:
         pass
-    key = (f"{model}|{flags}|{boot}" if (model or flags)
-           else f"{platform.processor()}|{boot}")
+    key = (f"{model}|{flags}|{boot}|{axon}" if (model or flags)
+           else f"{platform.processor()}|{boot}|{axon}")
     return hashlib.sha1(key.encode()).hexdigest()[:10]
 
 
@@ -80,10 +97,17 @@ def cpu_cache_dir(base: str = None) -> str:
     base = base or os.environ.get("IC_JAX_CACHE_CPU", "/tmp/ic_jax_cache_cpu")
     tag = host_cpu_tag()
     import glob
+    import re
     import shutil
 
+    # this boot has TWO valid tags (axon-loaded and clean processes write
+    # incompatible AOT code, see host_cpu_tag) — never prune either
+    live = {host_cpu_tag(axon_loaded=True), host_cpu_tag(axon_loaded=False)}
     for stale in glob.glob(f"{base}-*"):
-        if not stale.endswith(f"-{tag}"):
+        suffix = stale[len(base) + 1:]
+        # only directories matching the tag format this function generates —
+        # a user-set base may have unrelated '{base}-*' siblings
+        if suffix not in live and re.fullmatch(r"[0-9a-f]{10}", suffix):
             shutil.rmtree(stale, ignore_errors=True)
     return f"{base}-{tag}"
 

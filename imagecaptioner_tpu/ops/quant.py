@@ -71,25 +71,24 @@ def quantize_activation_int8(x: jnp.ndarray):
     return x_q, scale
 
 
-def _is_quantizable(p) -> bool:
-    return (isinstance(p, dict) and "weight" in p
-            and hasattr(p["weight"], "ndim") and p["weight"].ndim in (2, 4)
-            and p["weight"].size >= MIN_QUANT_ELEMENTS)
-
-
 def quantize_params_int8(tree, *, min_elements: Optional[int] = None):
     """Rewrite every conv/dense ``{"weight": ...}`` dict in ``tree`` to its
     int8 form ``{"weight_q", "w_scale", [bias]}``.  Returns a new tree; the
-    input is not mutated.  Dicts whose weight is too small (or not 2-/4-D,
-    e.g. LSTM packed weights ride in differently-keyed dicts) pass through
-    unchanged, as do embeddings/norms.
+    input is not mutated.  Dicts whose weight is too small pass through
+    unchanged, as do norms (1-D weights), LSTM packed weights (different
+    keys), and EMBEDDINGS: a 2-D weight quantizes only when the dict also
+    has a bias — every dense layer in this codebase does (torch nn.Linear
+    defaults), while embedding dicts are bias-less and are consumed by
+    ``modules.embedding``'s direct ``p["weight"]`` take, which an int8
+    rewrite would break.
     """
     thr = MIN_QUANT_ELEMENTS if min_elements is None else min_elements
 
     def rewrite(p):
         if isinstance(p, dict):
             if ("weight" in p and hasattr(p["weight"], "ndim")
-                    and p["weight"].ndim in (2, 4)
+                    and (p["weight"].ndim == 4
+                         or (p["weight"].ndim == 2 and "bias" in p))
                     and p["weight"].size >= thr):
                 w_q, scale = quantize_weight_int8(p["weight"])
                 out = {k: v for k, v in p.items() if k != "weight"}

@@ -99,7 +99,7 @@ def train_student_with_kd(
     data_parallel: bool = True,
     metrics_jsonl: Optional[str] = None,
     freeze_backbone: bool = True,
-    use_attention_refinement: bool = True,
+    use_attention_refinement: Optional[bool] = None,
     student_variant: str = "full",
     student_cfg_overrides: Optional[dict] = None,
     aug=None,
@@ -135,13 +135,17 @@ def train_student_with_kd(
     import jax as _jax
 
     decoder_impl = "pallas" if _jax.default_backend() == "tpu" else "scan"
+    # use_attention_refinement=None -> the variant's own default (True for
+    # full, the reference trainer's setting); an explicit bool applies to
+    # ANY variant.  tr.dropout is the reference trainer's knob for the FULL
+    # student only (train_student_kd.py:96-111) — other variants keep their
+    # own dropout defaults (override via student_cfg_overrides).
+    refine_kw = ({} if use_attention_refinement is None
+                 else {"use_attention_refinement": use_attention_refinement})
     if student_variant == "full":
-        # reference semantics: the trainer's dropout/refinement knobs are the
-        # full student's (train_student_kd.py:96-111)
         s_cfg = full_student_config(
             vocab_size, dropout=tr.dropout, freeze_backbone=freeze_backbone,
-            use_attention_refinement=use_attention_refinement,
-            decoder_impl=decoder_impl)
+            decoder_impl=decoder_impl, **refine_kw)
     elif student_variant in ("compact", "enhanced"):
         # reference's run_optimized_training.py:20-22 advertises these
         # students for KD but never wires them into a trainer; here they are
@@ -149,7 +153,7 @@ def train_student_with_kd(
         factory = (compact_student_config if student_variant == "compact"
                    else enhanced_student_config)
         s_cfg = factory(vocab_size, freeze_backbone=freeze_backbone,
-                        decoder_impl=decoder_impl)
+                        decoder_impl=decoder_impl, **refine_kw)
     else:
         raise ValueError(f"unknown student_variant {student_variant!r}")
     if student_cfg_overrides:

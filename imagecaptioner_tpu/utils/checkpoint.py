@@ -144,3 +144,29 @@ def load_checkpoint(path: str) -> Any:
         arrays = {k: z[k] for k in z.files}
     structure = json.loads(bytes(arrays.pop("__structure__")).decode())
     return _unflatten(structure, arrays)
+
+
+def load_student_checkpoint(path: str):
+    """Rebuild a trained student from a KD checkpoint: dispatch on the
+    recorded ``model_config.model_type`` (full / compact / enhanced — same
+    switch as eval/evaluate_student.py:279-287).  Returns
+    ``(params, cfg, model_state)``."""
+    import jax.numpy as jnp
+
+    from imagecaptioner_tpu.core.config import (
+        compact_student_config, enhanced_student_config, full_student_config)
+
+    ckpt = load_checkpoint(path)
+    mc = dict(ckpt.get("model_config", {}))
+    variant = mc.pop("model_type", "full")
+    try:
+        factory = {"full": full_student_config,
+                   "compact": compact_student_config,
+                   "enhanced": enhanced_student_config}[variant]
+    except KeyError:
+        raise ValueError(f"unknown student model_type {variant!r}") from None
+    cfg = factory(int(ckpt["vocab_size"]), **mc)
+    params = jax.tree.map(jnp.asarray, ckpt["student_state_dict"]["params"])
+    mstate = jax.tree.map(jnp.asarray,
+                          ckpt["student_state_dict"]["model_state"])
+    return params, cfg, mstate

@@ -37,13 +37,16 @@ def main():
         "benchmarks", "int8_quality.json"))
     args = ap.parse_args()
 
+    from imagecaptioner_tpu.core.runtime import enable_compile_cache
+
+    enable_compile_cache()
+
     import jax
     import jax.numpy as jnp
     import numpy as np
     from PIL import Image
 
-    from imagecaptioner_tpu.core.config import (TeacherConfig,
-                                                full_student_config)
+    from imagecaptioner_tpu.core.config import TeacherConfig
     from imagecaptioner_tpu.data import transforms as T
     from imagecaptioner_tpu.data.vocabulary import Vocabulary
     from imagecaptioner_tpu.eval.metrics import bleu_n
@@ -61,12 +64,9 @@ def main():
                           **ck.get("model_config", {}))
     tp = jax.tree.map(jnp.asarray, ck["model_state_dict"]["params"])
 
-    sck = CKPT.load_checkpoint(os.path.join(out_dir, "best_student_model.npz"))
-    mc = dict(sck["model_config"])
-    mc.pop("model_type", None)
-    s_cfg = full_student_config(int(sck["vocab_size"]), **mc)
-    sp = jax.tree.map(jnp.asarray, sck["student_state_dict"]["params"])
-    ss = jax.tree.map(jnp.asarray, sck["student_state_dict"]["model_state"])
+    # same variant dispatch as the evaluator/demo (any student model_type)
+    sp, s_cfg, ss = CKPT.load_student_checkpoint(
+        os.path.join(out_dir, "best_student_model.npz"))
 
     refs = {}
     with open(os.path.join(args.workdir, "data", "captions_clean.csv")) as f:

@@ -46,21 +46,9 @@ DEFAULT_VOCAB = "saved_models/vocab.json"
 
 
 def _load_student(student_checkpoint: str):
-    """Rebuild a trained student from its checkpoint (same dispatch as
-    eval/evaluate_student.py:279-287).  Returns (params, cfg, model_state)."""
-    from imagecaptioner_tpu.core.config import (
-        compact_student_config, enhanced_student_config, full_student_config)
-
-    ckpt = CKPT.load_checkpoint(student_checkpoint)
-    mc = dict(ckpt.get("model_config", {}))
-    variant = mc.pop("model_type", "full")
-    factory = {"full": full_student_config, "compact": compact_student_config,
-               "enhanced": enhanced_student_config}[variant]
-    cfg = factory(int(ckpt["vocab_size"]), **mc)
-    params = jax.tree.map(jnp.asarray, ckpt["student_state_dict"]["params"])
-    mstate = jax.tree.map(jnp.asarray,
-                          ckpt["student_state_dict"]["model_state"])
-    return params, cfg, mstate
+    """Rebuild a trained student from its checkpoint (variant dispatch on
+    model_type).  Returns (params, cfg, model_state)."""
+    return CKPT.load_student_checkpoint(student_checkpoint)
 
 
 def load_models_and_vocab(checkpoint_path: str = DEFAULT_CKPT,
@@ -294,6 +282,10 @@ def main():
     student_ckpt = None
     if "--student-checkpoint" in argv:
         i = argv.index("--student-checkpoint")
+        if i + 1 >= len(argv):
+            print("usage: streamlit_app.py [image] "
+                  "[--student-checkpoint PATH]")
+            sys.exit(2)
         student_ckpt = argv[i + 1]
         del argv[i:i + 2]
     if argv and os.path.exists(argv[0]):

@@ -25,6 +25,27 @@ def test_cpu_cache_dir_is_machine_keyed(monkeypatch, tmp_path):
     assert cpu_cache_dir() == f"{tmp_path}/envbase-{host_cpu_tag()}"
 
 
+def test_axon_and_clean_processes_get_distinct_tags():
+    """axon-registered and clean-CPU processes emit incompatible XLA:CPU
+    AOT code (prefer-no-* target features) — they must not share a dir."""
+    a = host_cpu_tag(axon_loaded=True)
+    c = host_cpu_tag(axon_loaded=False)
+    assert a != c
+    assert host_cpu_tag() in (a, c)
+
+
+def test_cpu_cache_dir_spares_both_same_boot_tags(tmp_path):
+    import os
+
+    base = str(tmp_path / "cache")
+    other = (host_cpu_tag(axon_loaded=True)
+             if host_cpu_tag() == host_cpu_tag(axon_loaded=False)
+             else host_cpu_tag(axon_loaded=False))
+    os.makedirs(f"{base}-{other}")
+    cpu_cache_dir(base)
+    assert os.path.isdir(f"{base}-{other}")
+
+
 def test_cpu_cache_dir_prunes_stale_boot_tags(tmp_path):
     """Tag dirs from earlier boots are unloadable AOT garbage (SIGILL risk,
     observed 3x this round) — cpu_cache_dir deletes them."""
@@ -34,8 +55,12 @@ def test_cpu_cache_dir_prunes_stale_boot_tags(tmp_path):
     stale = f"{base}-deadbeef00"
     os.makedirs(stale)
     open(f"{stale}/entry", "w").write("x")
+    # non-tag-shaped siblings of a user-set base must never be touched
+    unrelated = f"{base}-backup"
+    os.makedirs(unrelated)
     d = cpu_cache_dir(base)
     assert not os.path.exists(stale)
+    assert os.path.isdir(unrelated)
     assert d == f"{base}-{host_cpu_tag()}"
     # the live tag dir (if present) is never pruned
     os.makedirs(d)

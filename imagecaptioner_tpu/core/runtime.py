@@ -49,12 +49,19 @@ def host_cpu_tag(axon_loaded=None) -> str:
     :func:`cpu_cache_dir`.
 
     AND the key includes whether the axon TPU plugin is loaded in this
-    process: measured WITHIN one boot that axon-registered processes emit
-    XLA:CPU AOT entries with ``+prefer-no-scatter/+prefer-no-gather`` target
-    features while clean-CPU processes emit without them (libtpu
-    registration flips process-global XLA codegen flags), so the two
-    populations must not share a dir — this, not host migration, explains
-    the recurring same-cpuinfo mismatches.
+    process: measured WITHIN one boot (r3) that axon-registered processes
+    emitted XLA:CPU AOT entries with ``+prefer-no-scatter/+prefer-no-gather``
+    target features while clean-CPU processes emitted without them.
+    CORRECTION (r3, later boot): on some hosts clean processes ALSO emit
+    the ``prefer-no-*`` tuning preferences (they follow the CPU model), and
+    the loader's feature check compares against raw CPUID flags which never
+    contain tuning preferences — so the ``cpu_aot_loader`` E-warning fires
+    on EVERY load there, even for a clean->clean round trip, and is NOT
+    diagnostic of population mixing.  Measured benign: results correct and
+    the warm run still 2.6x faster (2.42 -> 0.93 s), i.e. XLA warns and
+    recovers.  The axon/clean split stays as cheap insurance (a genuinely
+    mixed dir was observed to kill worker processes before the boot-id
+    keying existed), but the boot-id key is the load-bearing protection.
 
     ``axon_loaded``: None (default) detects from ``sys.modules``;
     :func:`cpu_cache_dir` passes explicit values to enumerate this boot's

@@ -194,8 +194,16 @@ def enhanced_output_projection(p, enhanced_hidden, cfg: StudentConfig, *,
 
 
 def enhanced_decoder_apply(p, image_features, captions, cfg: StudentConfig, *,
-                           train=False, rng=None, hidden=None):
+                           train=False, rng=None, hidden=None,
+                           _skip_pallas=False):
     T, B = captions.shape
+    if (cfg.decoder_impl == "pallas" and not _skip_pallas and hidden is None
+            and cfg.num_layers == 3 and cfg.embed_size % 8 == 0):
+        from imagecaptioner_tpu.ops.pallas_enhanced import (
+            pallas_enhanced_decoder_scan_train)
+
+        return pallas_enhanced_decoder_scan_train(
+            p, image_features, captions, cfg, train=train, rng=rng)
     if hidden is None:
         hidden = L.init_hidden(cfg.num_layers, B, cfg.hidden_size,
                                image_features.dtype)

@@ -130,8 +130,8 @@ def train_student_with_kd(
 
     teacher_params, t_cfg = load_teacher(teacher_checkpoint, vocab_size)
     # fused Pallas decoder (custom-VJP) on real TPU; lax.scan elsewhere.
-    # The trainable kernels cover the full (2-layer) and compact (1-layer)
-    # decoders; the enhanced LSTMCell stack always trains via lax.scan.
+    # The trainable kernels cover all three decoders: full (2-layer),
+    # compact (1-layer), and enhanced (3-layer MHA/highway stack).
     import jax as _jax
 
     decoder_impl = "pallas" if _jax.default_backend() == "tpu" else "scan"

@@ -83,8 +83,8 @@ def train_student_with_kd_optimized(
     vocab_size = len(vocab)
 
     teacher_params, t_cfg = load_teacher(teacher_checkpoint, vocab_size)
-    # fused Pallas decoder (custom-VJP, 1-layer compact / 2-layer full
-    # kernels) on real TPU; the enhanced LSTMCell stack trains via lax.scan.
+    # fused Pallas decoder (custom-VJP; 1-layer compact / 2-layer full /
+    # 3-layer enhanced kernels) on real TPU; lax.scan elsewhere.
     # The reference's optimized trainer hardcodes the compact student
     # (train_student_kd_optimized.py:308-315) while run_optimized_training
     # advertises the enhanced one (:20-22, never wired); here the variant is

@@ -214,23 +214,44 @@ def multi_head_attention(
     non-causal masks always use the XLA path.
     """
     e = query.shape[-1]
-    w_q, w_k, w_v = jnp.split(p["in_proj_weight"], 3, axis=0)
-    if "in_proj_bias" in p:
-        b_q, b_k, b_v = jnp.split(p["in_proj_bias"], 3, axis=0)
+    if "in_proj_weight_q" in p:  # int8 serving weights (ops/quant.py)
+        from imagecaptioner_tpu.ops.quant import dense_int8
+
+        w_q, w_k, w_v = jnp.split(p["in_proj_weight_q"], 3, axis=0)
+        s_q, s_k, s_v = jnp.split(p["in_proj_scale"], 3)
+        if "in_proj_bias" in p:
+            b_q, b_k, b_v = jnp.split(p["in_proj_bias"], 3, axis=0)
+        else:
+            b_q = b_k = b_v = None
+
+        def proj(x, w, s, b):
+            d = {"weight_q": w, "w_scale": s}
+            if b is not None:
+                d["bias"] = b
+            return dense_int8(d, x)
+
+        q = _split_heads(proj(query, w_q, s_q, b_q), num_heads)
+        k = _split_heads(proj(key, w_k, s_k, b_k), num_heads)
+        v = _split_heads(proj(value, w_v, s_v, b_v), num_heads)
     else:
-        b_q = b_k = b_v = None
+        w_q, w_k, w_v = jnp.split(p["in_proj_weight"], 3, axis=0)
+        if "in_proj_bias" in p:
+            b_q, b_k, b_v = jnp.split(p["in_proj_bias"], 3, axis=0)
+        else:
+            b_q = b_k = b_v = None
 
-    def proj(x, w, b):
-        y = jax.lax.dot_general(
-            x, w.astype(x.dtype), dimension_numbers=(((2,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        if b is not None:
-            y = y + b
-        return y.astype(x.dtype)
+        def proj(x, w, b):
+            y = jax.lax.dot_general(
+                x, w.astype(x.dtype),
+                dimension_numbers=(((2,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            if b is not None:
+                y = y + b
+            return y.astype(x.dtype)
 
-    q = _split_heads(proj(query, w_q, b_q), num_heads)  # (B,H,Lq,D)
-    k = _split_heads(proj(key, w_k, b_k), num_heads)
-    v = _split_heads(proj(value, w_v, b_v), num_heads)
+        q = _split_heads(proj(query, w_q, b_q), num_heads)  # (B,H,Lq,D)
+        k = _split_heads(proj(key, w_k, b_k), num_heads)
+        v = _split_heads(proj(value, w_v, b_v), num_heads)
 
     scale = 1.0 / math.sqrt(e // num_heads)
     from imagecaptioner_tpu.ops.pallas_attention import default_attn_impl

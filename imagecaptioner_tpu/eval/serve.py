@@ -55,11 +55,19 @@ def main(argv=None):
                     help="student only; != 1.0 samples")
     ap.add_argument("--int8", action="store_true",
                     help="int8 PTQ serving encoder (ops/quant.py)")
+    ap.add_argument("--int8-full", action="store_true",
+                    help="teacher only: int8 encoder AND transformer "
+                         "decoder (halves the beam loop's weight traffic; "
+                         "validate quality per-checkpoint — "
+                         "scripts/bench_int8_quality.py)")
     ap.add_argument("--data-parallel", action="store_true",
                     help="shard batches over all local devices "
                          "(batch must divide by the device count)")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args(argv)
+    if args.int8_full and args.model != "teacher":
+        ap.error("--int8-full applies to the teacher's transformer decoder; "
+                 "students keep float decoders (use --int8)")
 
     from imagecaptioner_tpu.core.runtime import enable_compile_cache
 
@@ -99,7 +107,11 @@ def main(argv=None):
         cfg = TeacherConfig(vocab_size=int(ckpt["vocab_size"]),
                             **ckpt.get("model_config", {}))
         params = jax.tree.map(jnp.asarray, ckpt["model_state_dict"]["params"])
-        if args.int8:
+        if args.int8_full:
+            from imagecaptioner_tpu.ops.quant import quantize_teacher_full_int8
+
+            params = quantize_teacher_full_int8(params)
+        elif args.int8:
             from imagecaptioner_tpu.ops.quant import (
                 quantize_teacher_encoder_int8)
 

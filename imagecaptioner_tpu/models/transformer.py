@@ -149,6 +149,14 @@ def _attend_hm(q, k, v, num_heads: int, mask=None):
 
 
 def _proj_qkv(p_mha, x):
+    if "in_proj_weight_q" in p_mha:  # int8 serving weights (ops/quant.py)
+        from imagecaptioner_tpu.ops.quant import dense_int8
+
+        y = dense_int8({"weight_q": p_mha["in_proj_weight_q"],
+                        "w_scale": p_mha["in_proj_scale"],
+                        "bias": p_mha["in_proj_bias"]}, x)
+        q, k, v = jnp.split(y, 3, axis=-1)
+        return q, k, v
     w_q, w_k, w_v = jnp.split(p_mha["in_proj_weight"], 3, axis=0)
     b_q, b_k, b_v = jnp.split(p_mha["in_proj_bias"], 3, axis=0)
 
@@ -165,6 +173,13 @@ def _proj_q(p_mha, x):
     """Q-only projection for cross-attention decode steps: K/V of the query
     token are never used there, so projecting all three (``_proj_qkv``)
     wastes 2/3 of the GEMM.  Identical numerics to ``_proj_qkv(...)[0]``."""
+    if "in_proj_weight_q" in p_mha:  # int8 serving weights (ops/quant.py)
+        from imagecaptioner_tpu.ops.quant import dense_int8
+
+        e = p_mha["in_proj_weight_q"].shape[1]
+        return dense_int8({"weight_q": p_mha["in_proj_weight_q"][:e],
+                           "w_scale": p_mha["in_proj_scale"][:e],
+                           "bias": p_mha["in_proj_bias"][:e]}, x)
     e = p_mha["in_proj_weight"].shape[1]
     w_q = p_mha["in_proj_weight"][:e]
     b_q = p_mha["in_proj_bias"][:e]

@@ -28,6 +28,17 @@ BatchNorm, LayerNorm, biases, and the LSTM decoders stay in float: the
 decoders are Pallas-kernel territory and numerically load-bearing
 (argmax over near-tie logits), while the encoder's conv stack is where all
 the FLOPs are (serving_hlo_profile.json: 2.30 of 2.61 ms).
+
+The TEACHER's transformer decoder is the exception
+(:func:`quantize_teacher_full_int8`): its beam decode loop re-reads every
+decoder weight each token step (~29 MB bf16/step at the 512/8/4 config —
+in_proj + out_proj + FFN x4 layers + the vocab head) and the loop is
+HBM-bound (benchmarks/beam_ablation.json), so int8 weights halve the
+loop's largest traffic term.  Packed MHA ``in_proj_weight`` matrices get
+their own keys (``in_proj_weight_q`` + ``in_proj_scale``; per-output-row
+scales stay q/k/v-consistent because axis 0 is the packed output);
+``transformer._proj_qkv``/``_proj_q`` and ``modules.multi_head_attention``
+dispatch on them.  Embeddings, norms, and the KV caches stay float.
 """
 
 from __future__ import annotations
@@ -71,7 +82,8 @@ def quantize_activation_int8(x: jnp.ndarray):
     return x_q, scale
 
 
-def quantize_params_int8(tree, *, min_elements: Optional[int] = None):
+def quantize_params_int8(tree, *, min_elements: Optional[int] = None,
+                         mha: bool = False):
     """Rewrite every conv/dense ``{"weight": ...}`` dict in ``tree`` to its
     int8 form ``{"weight_q", "w_scale", [bias]}``.  Returns a new tree; the
     input is not mutated.  Dicts whose weight is too small pass through
@@ -81,11 +93,25 @@ def quantize_params_int8(tree, *, min_elements: Optional[int] = None):
     defaults), while embedding dicts are bias-less and are consumed by
     ``modules.embedding``'s direct ``p["weight"]`` take, which an int8
     rewrite would break.
+
+    ``mha=True`` additionally rewrites packed MHA ``in_proj_weight``
+    matrices to ``in_proj_weight_q`` + ``in_proj_scale`` (the (3E,) scale
+    vector splits into q/k/v thirds exactly like the weight rows);
+    consumers dispatch on the ``in_proj_weight_q`` key.
     """
     thr = MIN_QUANT_ELEMENTS if min_elements is None else min_elements
 
     def rewrite(p):
         if isinstance(p, dict):
+            if (mha and "in_proj_weight" in p
+                    and hasattr(p["in_proj_weight"], "ndim")
+                    and p["in_proj_weight"].size >= thr):
+                w_q, scale = quantize_weight_int8(p["in_proj_weight"])
+                out = {k: rewrite(v) for k, v in p.items()
+                       if k != "in_proj_weight"}
+                out["in_proj_weight_q"] = w_q
+                out["in_proj_scale"] = scale
+                return out
             if ("weight" in p and hasattr(p["weight"], "ndim")
                     and (p["weight"].ndim == 4
                          or (p["weight"].ndim == 2 and "bias" in p))
@@ -110,7 +136,7 @@ def count_quantized(tree) -> int:
     def walk(p):
         nonlocal n
         if isinstance(p, dict):
-            if "weight_q" in p:
+            if "weight_q" in p or "in_proj_weight_q" in p:
                 n += 1
             for v in p.values():
                 walk(v)
@@ -132,9 +158,21 @@ def quantize_student_encoder_int8(params):
 def quantize_teacher_encoder_int8(params):
     """Serving copy of a teacher param tree with the ViT encoder (patch
     embed + block projections/MLPs) quantized; the transformer DECODER stays
-    float — beam scores rank near-tie candidates and decode is a small
-    fraction of end-to-end serving time."""
+    float.  This is the conservative arm (recorded quality:
+    benchmarks/int8_quality.json); :func:`quantize_teacher_full_int8` also
+    quantizes the decode loop's weights."""
     return dict(params, encoder=quantize_params_int8(params["encoder"]))
+
+
+def quantize_teacher_full_int8(params):
+    """Serving copy of a teacher param tree with encoder AND transformer
+    decoder quantized, packed MHA in_proj matrices included.  The beam
+    decode loop re-reads the decoder weights every token step and is
+    HBM-bound, so int8 halves its largest traffic term (module docstring).
+    Embedding, norms, and KV caches stay float; beam ordering quality must
+    be validated per-checkpoint (scripts/bench_int8_quality.py records a
+    ``teacher_full`` arm)."""
+    return quantize_params_int8(params, mha=True)
 
 
 def conv2d_int8(

@@ -9,8 +9,10 @@ the int8 serving story; the throughput half is
 ``scripts/profile_serving_hlo.py --int8`` on the chip.
 
 Recorded result (benchmarks/int8_quality.json, reference-recipe workdir):
-teacher beam 31/32 captions identical, BLEU-1 0.8542 -> 0.8507; student
-greedy 32/32 identical, BLEU-1 0.6563 unchanged.
+teacher beam (int8 encoder) 31/32 captions identical, BLEU-1
+0.8542 -> 0.8507; student greedy 32/32 identical, BLEU-1 0.6563 unchanged.
+``teacher_beam_full`` additionally quantizes the transformer decoder
+(quantize_teacher_full_int8 — the beam loop's weight-traffic lever).
 
 Usage: python scripts/bench_int8_quality.py
          [--workdir /tmp/ic_converged_ref] [--recipe reference] [--n 32]
@@ -103,6 +105,8 @@ def main():
     for tag, fn, p, pq in [
             ("teacher_beam", teacher_caps, tp,
              Q.quantize_teacher_encoder_int8(tp)),
+            ("teacher_beam_full", teacher_caps, tp,
+             Q.quantize_teacher_full_int8(tp)),
             ("student_greedy", student_caps, sp,
              Q.quantize_student_encoder_int8(sp))]:
         c_f, c_q = fn(p), fn(pq)

@@ -31,6 +31,10 @@ def main():
     ap.add_argument("--int8", action="store_true",
                     help="quantize the serving encoders (ops/quant.py) and "
                          "record under 'greedy_int8'/'beam_int8'")
+    ap.add_argument("--int8-full", action="store_true",
+                    help="teacher beam only: also quantize the transformer "
+                         "decoder weights (quantize_teacher_full_int8) and "
+                         "record under 'beam_int8_full'")
     ap.add_argument("--batch", type=int, default=32, help="greedy batch")
     ap.add_argument("--beam-n", type=int, default=8, help="beam images/call")
     ap.add_argument("--runs", type=int, default=3)
@@ -103,7 +107,11 @@ def main():
         N = args.beam_n
         cfg = TeacherConfig(vocab_size=V)
         params = P.bf16_compute(TM.teacher_init(jax.random.PRNGKey(0), cfg))
-        if args.int8:
+        if args.int8_full:
+            from imagecaptioner_tpu.ops.quant import quantize_teacher_full_int8
+
+            params = quantize_teacher_full_int8(params)
+        elif args.int8:
             from imagecaptioner_tpu.ops.quant import (
                 quantize_teacher_encoder_int8)
 
@@ -128,7 +136,8 @@ def main():
         print(profiling.top_table(prof["by_category"], "category", 12, tot))
         print(profiling.top_table(prof["by_source"], "source", args.top,
                                   tot))
-        out["beam" + suffix] = {
+        beam_suffix = "_int8_full" if args.int8_full else suffix
+        out["beam" + beam_suffix] = {
             "images_per_call": N, "device_ms_per_call": tot / 1e3,
             "device_images_per_sec": N / (tot / 1e6),
             "by_category": prof["by_category"],

@@ -174,3 +174,74 @@ def test_teacher_encoder_int8_accuracy():
     m_q = TM.encode_image(pq, img, cfg)
     rel = float(jnp.linalg.norm(m_q - m_f) / jnp.linalg.norm(m_f))
     assert rel < 0.10, rel
+
+
+def test_mha_in_proj_int8_dispatch():
+    """mha=True rewrites packed in_proj matrices; the modules MHA and the
+    transformer decode-step projections dispatch on the new keys and stay
+    within int8 error of float.  _proj_q must equal _proj_qkv[0] exactly in
+    the int8 path too (same x quantization, same weight rows)."""
+    from imagecaptioner_tpu.models import transformer as TD
+
+    E = 64
+    p = M.mha_init(jax.random.PRNGKey(7), E)
+    # give the zero-init biases some signal so the bias path is exercised
+    p["in_proj_bias"] = 0.1 * jax.random.normal(jax.random.PRNGKey(8), (3 * E,))
+    pq = Q.quantize_params_int8(p, min_elements=1, mha=True)
+    assert "in_proj_weight_q" in pq and "in_proj_weight" not in pq
+    assert pq["in_proj_scale"].shape == (3 * E,)
+    assert "weight_q" in pq["out_proj"]  # nested dense still rewritten
+    assert Q.count_quantized(pq) == 2
+    # mha=False (the default) leaves in_proj alone
+    pq0 = Q.quantize_params_int8(p, min_elements=1)
+    assert "in_proj_weight" in pq0
+
+    x = jax.random.normal(jax.random.PRNGKey(9), (2, 5, E))
+    out_f, _ = M.multi_head_attention(p, x, x, x, num_heads=4)
+    out_q, _ = M.multi_head_attention(pq, x, x, x, num_heads=4)
+    rel = float(jnp.linalg.norm(out_q - out_f) / jnp.linalg.norm(out_f))
+    assert rel < 0.10, rel
+
+    q3, k3, v3 = TD._proj_qkv(pq, x)
+    qf, kf, vf = TD._proj_qkv(p, x)
+    for a, b in ((q3, qf), (k3, kf), (v3, vf)):
+        rel = float(jnp.linalg.norm(a - b) / jnp.linalg.norm(b))
+        assert rel < 0.05, rel
+    np.testing.assert_array_equal(np.asarray(TD._proj_q(pq, x)),
+                                  np.asarray(q3))
+
+
+def test_teacher_full_int8_logits_and_beam():
+    """quantize_teacher_full_int8 quantizes the transformer decoder (packed
+    in_proj included) and the vocab head; full-forward logits stay within a
+    few percent and the packed beam search runs end-to-end through the
+    cached decode step's int8 dispatch."""
+    from imagecaptioner_tpu.core.config import TeacherConfig
+    from imagecaptioner_tpu.models import teacher as TM
+    from imagecaptioner_tpu.ops import decode as D
+
+    cfg = TeacherConfig(vocab_size=V, embed_size=64, num_heads=4,
+                        num_decoder_layers=2, dropout=0.0, encoder_dim=48,
+                        encoder_depth=2, encoder_heads=4, image_size=64)
+    p = TM.teacher_init(jax.random.PRNGKey(0), cfg)
+    pq = Q.quantize_teacher_full_int8(p)
+    # encoder-only arm leaves the decoder float; the full arm quantizes it
+    enc_only = Q.quantize_teacher_encoder_int8(p)
+    assert Q.count_quantized({"d": enc_only["decoder"]}) == 0
+    n_dec = Q.count_quantized({"d": pq["decoder"]})
+    assert n_dec >= 2 * 4  # per layer: self in_proj+out, cross in_proj, FFN
+    assert "weight_q" in pq["fc_out"]
+
+    img = jax.random.normal(jax.random.PRNGKey(1), (2, 3, 64, 64)) * 0.5
+    caps = jax.random.randint(jax.random.PRNGKey(2), (6, 2), 1, V)
+    lf = TM.teacher_apply(p, img, caps, cfg)
+    lq = TM.teacher_apply(pq, img, caps, cfg)
+    rel = float(jnp.linalg.norm(lq - lf) / jnp.linalg.norm(lf))
+    assert rel < 0.15, rel
+
+    mem = TM.encode_image(pq, img, cfg)
+    seqs, scores, lens = D.beam_search_teacher_packed(
+        pq, mem, cfg, max_length=6, beam_size=3)
+    assert seqs.shape[:2] == (2, 3)
+    assert bool(jnp.all((seqs >= 0) & (seqs < V)))
+    assert bool(jnp.all(jnp.isfinite(scores[:, 0])))

@@ -215,8 +215,15 @@ def multi_head_attention(
     """
     e = query.shape[-1]
     if "in_proj_weight_q" in p:  # int8 serving weights (ops/quant.py)
-        from imagecaptioner_tpu.ops.quant import dense_int8
+        from imagecaptioner_tpu.ops.quant import (dense_int8,
+                                                  record_calibration_amax)
 
+        # split arrays are fresh objects each eager call — calibration
+        # records against the PACKED tree weight's identity (q, k and v
+        # inputs all fold into the same scale, conservatively)
+        for act in (query, key, value):
+            record_calibration_amax(p["in_proj_weight_q"], act)
+        xs = p.get("in_proj_x_scale")
         w_q, w_k, w_v = jnp.split(p["in_proj_weight_q"], 3, axis=0)
         s_q, s_k, s_v = jnp.split(p["in_proj_scale"], 3)
         if "in_proj_bias" in p:
@@ -228,6 +235,8 @@ def multi_head_attention(
             d = {"weight_q": w, "w_scale": s}
             if b is not None:
                 d["bias"] = b
+            if xs is not None:
+                d["x_scale"] = xs
             return dense_int8(d, x)
 
         q = _split_heads(proj(query, w_q, s_q, b_q), num_heads)

@@ -60,6 +60,11 @@ def main(argv=None):
                          "decoder (halves the beam loop's weight traffic; "
                          "validate quality per-checkpoint — "
                          "scripts/bench_int8_quality.py)")
+    ap.add_argument("--int8-calibrate", type=int, default=0, metavar="N",
+                    help="with --int8/--int8-full: bake static activation "
+                         "scales calibrated on the first N input images "
+                         "(eager, CPU backend) — removes the per-layer "
+                         "dynamic amax pass from the serving graph")
     ap.add_argument("--data-parallel", action="store_true",
                     help="shard batches over all local devices "
                          "(batch must divide by the device count)")
@@ -68,6 +73,8 @@ def main(argv=None):
     if args.int8_full and args.model != "teacher":
         ap.error("--int8-full applies to the teacher's transformer decoder; "
                  "students keep float decoders (use --int8)")
+    if args.int8_calibrate and not (args.int8 or args.int8_full):
+        ap.error("--int8-calibrate requires --int8 or --int8-full")
 
     from imagecaptioner_tpu.core.runtime import enable_compile_cache
 
@@ -91,6 +98,27 @@ def main(argv=None):
     if not files:
         print(f"no images found under {args.images}")
         return 1
+
+    def calibrate_static(qparams, size, fwd):
+        """Bake static activation scales from the first --int8-calibrate
+        input images.  ``fwd(host_params, images)`` runs the serving forward;
+        it executes EAGERLY on the CPU backend (eager through the TPU relay
+        would pay the dispatch floor per op), so the tree round-trips
+        host-side."""
+        from imagecaptioner_tpu.ops.quant import calibrate_activation_scales
+
+        n = max(1, min(args.int8_calibrate, len(files)))
+        arr = np.stack([
+            np.asarray(Image.open(f).convert("RGB").resize(
+                (size, size), Image.BILINEAR), np.uint8)
+            for f in files[:n]])
+        imgs = np.asarray(T.normalize(jnp.asarray(arr)))
+        host = jax.device_get(qparams)
+        with jax.default_device(jax.devices("cpu")[0]):
+            host = calibrate_activation_scales(host,
+                                               lambda q: fwd(q, imgs))
+        print(f"[int8] static activation scales calibrated on {n} images")
+        return jax.tree.map(jnp.asarray, host)
 
     mesh = None
     if args.data_parallel and len(jax.devices()) > 1:
@@ -116,6 +144,13 @@ def main(argv=None):
                 quantize_teacher_encoder_int8)
 
             params = quantize_teacher_encoder_int8(params)
+        if args.int8_calibrate and (args.int8 or args.int8_full):
+            # the full teacher forward reaches encoder AND decoder weights
+            cal_caps = np.ones((4, max(1, min(args.int8_calibrate,
+                                              len(files)))), np.int32)
+            params = calibrate_static(
+                params, cfg.image_size,
+                lambda q, im: TM.teacher_apply(q, im, cal_caps, cfg))
         if mesh is not None:
             from imagecaptioner_tpu.eval.serving import make_dp_beam_captioner
 
@@ -144,6 +179,12 @@ def main(argv=None):
                 quantize_student_encoder_int8)
 
             params = quantize_student_encoder_int8(params)
+            if args.int8_calibrate:
+                mstate_h = jax.device_get(mstate)
+                params = calibrate_static(
+                    params, cfg.image_size,
+                    lambda q, im: SM.encode_image(q, mstate_h, im, cfg,
+                                                  train=False))
         rng = (None if args.temperature == 1.0
                else jax.random.PRNGKey(args.seed))
         if mesh is not None:

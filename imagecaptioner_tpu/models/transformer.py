@@ -152,9 +152,12 @@ def _proj_qkv(p_mha, x):
     if "in_proj_weight_q" in p_mha:  # int8 serving weights (ops/quant.py)
         from imagecaptioner_tpu.ops.quant import dense_int8
 
-        y = dense_int8({"weight_q": p_mha["in_proj_weight_q"],
-                        "w_scale": p_mha["in_proj_scale"],
-                        "bias": p_mha["in_proj_bias"]}, x)
+        d = {"weight_q": p_mha["in_proj_weight_q"],
+             "w_scale": p_mha["in_proj_scale"],
+             "bias": p_mha["in_proj_bias"]}
+        if "in_proj_x_scale" in p_mha:  # calibrated static scale
+            d["x_scale"] = p_mha["in_proj_x_scale"]
+        y = dense_int8(d, x)
         q, k, v = jnp.split(y, 3, axis=-1)
         return q, k, v
     w_q, w_k, w_v = jnp.split(p_mha["in_proj_weight"], 3, axis=0)
@@ -174,12 +177,19 @@ def _proj_q(p_mha, x):
     token are never used there, so projecting all three (``_proj_qkv``)
     wastes 2/3 of the GEMM.  Identical numerics to ``_proj_qkv(...)[0]``."""
     if "in_proj_weight_q" in p_mha:  # int8 serving weights (ops/quant.py)
-        from imagecaptioner_tpu.ops.quant import dense_int8
+        from imagecaptioner_tpu.ops.quant import (dense_int8,
+                                                  record_calibration_amax)
 
+        # the slice below is a fresh array each eager call, so calibration
+        # must record against the PACKED tree weight's identity
+        record_calibration_amax(p_mha["in_proj_weight_q"], x)
         e = p_mha["in_proj_weight_q"].shape[1]
-        return dense_int8({"weight_q": p_mha["in_proj_weight_q"][:e],
-                           "w_scale": p_mha["in_proj_scale"][:e],
-                           "bias": p_mha["in_proj_bias"][:e]}, x)
+        d = {"weight_q": p_mha["in_proj_weight_q"][:e],
+             "w_scale": p_mha["in_proj_scale"][:e],
+             "bias": p_mha["in_proj_bias"][:e]}
+        if "in_proj_x_scale" in p_mha:
+            d["x_scale"] = p_mha["in_proj_x_scale"]
+        return dense_int8(d, x)
     e = p_mha["in_proj_weight"].shape[1]
     w_q = p_mha["in_proj_weight"][:e]
     b_q = p_mha["in_proj_bias"][:e]

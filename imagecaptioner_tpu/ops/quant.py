@@ -82,6 +82,98 @@ def quantize_activation_int8(x: jnp.ndarray):
     return x_q, scale
 
 
+def _quantize_activation(p: Dict, x: jnp.ndarray):
+    """Dispatch: calibrated static ``x_scale`` when the dict carries one
+    (cheap, producer-fusable), else dynamic per-example quantization.  Also
+    feeds the calibration recorder when one is active."""
+    record_calibration_amax(p["weight_q"], x)
+    xs = p.get("x_scale")
+    if xs is None:
+        return quantize_activation_int8(x)
+    xf = x.astype(jnp.float32)
+    x_q = jnp.clip(jnp.round(xf / xs), -127, 127).astype(jnp.int8)
+    return x_q, xs
+
+
+# ---------------------------------------------------------------------------
+# Static (calibrated) activation scales
+#
+# The dynamic per-example quantization above costs one full extra HBM pass
+# per quantized layer (amax reduce + rescale of the activation) — measured
+# 484 us of the int8 greedy serve's 2,523 us (19%,
+# benchmarks/serving_hlo_profile.json greedy_int8 "loop fusion"), which eats
+# most of the int8 conv win.  A calibrated tree carries a per-layer static
+# ``x_scale`` instead: the reduce_max pass disappears and the remaining
+# clip(round(x/s)) is a producer-fusable elementwise op.
+# Trade-off: per-TENSOR static scales are coarser than per-example dynamic
+# ones and an out-of-calibration-range activation clips; validate quality
+# per-checkpoint (scripts/bench_int8_quality.py --static).
+# ---------------------------------------------------------------------------
+
+_CALIB: Optional[dict] = None
+
+
+def record_calibration_amax(w_ref, x) -> None:
+    """Inside :func:`calibrate_activation_scales`, fold ``amax(|x|)`` into
+    the record keyed by the identity of the weight array the activation is
+    about to multiply; a no-op otherwise.  Must run EAGERLY (the calibration
+    context wraps the forward in ``jax.disable_jit()``)."""
+    if _CALIB is None:
+        return
+    try:
+        amax = float(jnp.max(jnp.abs(x.astype(jnp.float32))))
+    except (jax.errors.TracerArrayConversionError, jax.errors.ConcretizationTypeError):
+        raise RuntimeError(
+            "activation calibration saw a traced value — run the forward "
+            "eagerly (calibrate_activation_scales wraps it in "
+            "jax.disable_jit(); don't jit inside the `run` callback)")
+    key = id(w_ref)
+    if amax > _CALIB.get(key, 0.0):
+        _CALIB[key] = amax
+
+
+def calibrate_activation_scales(qtree, run, *, margin: float = 1.0):
+    """Bake static activation scales into a quantized tree.
+
+    ``run(qtree)`` must execute the serving forward(s) over a calibration
+    batch (a handful of representative images); it runs EAGERLY under
+    ``jax.disable_jit()`` so per-layer activation maxima are concrete — use
+    the CPU backend for speed through the relay.  Returns a NEW tree where
+    every quantized dict the forward touched gains ``x_scale`` (packed MHA
+    dicts gain ``in_proj_x_scale``): scale = observed_amax * margin / 127.
+    Layers the calibration forward never reached keep dynamic quantization.
+    """
+    global _CALIB
+    if _CALIB is not None:
+        raise RuntimeError("calibrate_activation_scales is not reentrant")
+    _CALIB = {}
+    try:
+        with jax.disable_jit():
+            run(qtree)
+        rec = dict(_CALIB)
+    finally:
+        _CALIB = None
+
+    def scale_of(amax: float):
+        a = amax * margin
+        return jnp.asarray(a / 127.0 if a > 0 else 1.0, jnp.float32)
+
+    def walk(p):
+        if isinstance(p, dict):
+            out = {k: walk(v) for k, v in p.items()}
+            if "weight_q" in p and id(p["weight_q"]) in rec:
+                out["x_scale"] = scale_of(rec[id(p["weight_q"])])
+            if "in_proj_weight_q" in p and id(p["in_proj_weight_q"]) in rec:
+                out["in_proj_x_scale"] = scale_of(
+                    rec[id(p["in_proj_weight_q"])])
+            return out
+        if isinstance(p, (list, tuple)):
+            return type(p)(walk(v) for v in p)
+        return p
+
+    return walk(qtree)
+
+
 def quantize_params_int8(tree, *, min_elements: Optional[int] = None,
                          mha: bool = False):
     """Rewrite every conv/dense ``{"weight": ...}`` dict in ``tree`` to its
@@ -183,7 +275,7 @@ def conv2d_int8(
     Drop-in for core.modules.conv2d on a ``weight_q`` param dict: NHWC
     input, torch OIHW weight, float output in ``x``'s dtype."""
     out_dtype = x.dtype
-    x_q, s_x = quantize_activation_int8(x)
+    x_q, s_x = _quantize_activation(p, x)
     w = jnp.transpose(p["weight_q"], (2, 3, 1, 0))  # OIHW -> HWIO
     y = jax.lax.conv_general_dilated(
         x_q, w,
@@ -204,7 +296,7 @@ def dense_int8(p: Dict, x: jnp.ndarray) -> jnp.ndarray:
     Drop-in for core.modules.dense on a ``weight_q`` dict ((out, in) torch
     layout)."""
     out_dtype = x.dtype
-    x_q, s_x = quantize_activation_int8(x)
+    x_q, s_x = _quantize_activation(p, x)
     y = jax.lax.dot_general(
         x_q, p["weight_q"],
         dimension_numbers=(((x.ndim - 1,), (1,)), ((), ())),

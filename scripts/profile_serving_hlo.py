@@ -31,6 +31,11 @@ def main():
     ap.add_argument("--int8", action="store_true",
                     help="quantize the serving encoders (ops/quant.py) and "
                          "record under 'greedy_int8'/'beam_int8'")
+    ap.add_argument("--int8-static", action="store_true",
+                    help="with --int8: bake calibrated static activation "
+                         "scales (calibrate_activation_scales, eager on the "
+                         "CPU backend) so the per-layer dynamic amax pass "
+                         "disappears; records under '*_int8_static'")
     ap.add_argument("--int8-full", action="store_true",
                     help="teacher beam only: also quantize the transformer "
                          "decoder weights (quantize_teacher_full_int8) and "
@@ -59,9 +64,25 @@ def main():
     from imagecaptioner_tpu.models import teacher as TM
     from imagecaptioner_tpu.ops import decode as D
 
+    import numpy as np
+
     V, MAX_LEN = 2994, 20
     out = {}
     suffix = "_int8" if args.int8 else ""
+    if args.int8 and args.int8_static:
+        suffix = "_int8_static"
+
+    def calibrate_on_cpu(qparams, run_host):
+        """Eager calibration through the relay would dispatch thousands of
+        ops; pull the tree to host and calibrate on the CPU backend, then
+        ship the baked tree back."""
+        from imagecaptioner_tpu.ops.quant import calibrate_activation_scales
+
+        cpu = jax.devices("cpu")[0]
+        host = jax.device_get(qparams)
+        with jax.default_device(cpu):
+            host = calibrate_activation_scales(host, run_host)
+        return jax.device_put(host)
     if os.path.exists(args.out):
         with open(args.out) as f:  # keep the other arms' records
             out = json.load(f)
@@ -76,6 +97,16 @@ def main():
                 quantize_student_encoder_int8)
 
             params = quantize_student_encoder_int8(params)
+            if args.int8_static:
+                state_h = jax.device_get(state)
+                cal_x = np.asarray(jax.random.normal(
+                    jax.random.PRNGKey(99), (2, 3, 224, 224), jnp.float32))
+                print("calibrating static activation scales (CPU eager)...",
+                      flush=True)
+                params = calibrate_on_cpu(
+                    params,
+                    lambda q: SM.encode_image(q, state_h, cal_x, cfg,
+                                              train=False))
 
         @jax.jit
         def caption(images):
@@ -116,6 +147,15 @@ def main():
                 quantize_teacher_encoder_int8)
 
             params = quantize_teacher_encoder_int8(params)
+        if args.int8_static and (args.int8 or args.int8_full):
+            cal_x = np.asarray(jax.random.normal(
+                jax.random.PRNGKey(98), (2, 3, 224, 224), jnp.float32))
+            cal_caps = np.ones((6, 2), np.int32)
+            print("calibrating static activation scales (CPU eager)...",
+                  flush=True)
+            # the full teacher forward reaches encoder AND decoder weights
+            params = calibrate_on_cpu(
+                params, lambda q: TM.teacher_apply(q, cal_x, cal_caps, cfg))
 
         @jax.jit
         def beam(imgs):
@@ -136,7 +176,10 @@ def main():
         print(profiling.top_table(prof["by_category"], "category", 12, tot))
         print(profiling.top_table(prof["by_source"], "source", args.top,
                                   tot))
-        beam_suffix = "_int8_full" if args.int8_full else suffix
+        beam_suffix = "_int8_full" if args.int8_full else (
+            "_int8" if args.int8 else "")
+        if beam_suffix and args.int8_static:
+            beam_suffix += "_static"
         out["beam" + beam_suffix] = {
             "images_per_call": N, "device_ms_per_call": tot / 1e3,
             "device_images_per_sec": N / (tot / 1e6),

@@ -245,3 +245,134 @@ def test_teacher_full_int8_logits_and_beam():
     assert seqs.shape[:2] == (2, 3)
     assert bool(jnp.all((seqs >= 0) & (seqs < V)))
     assert bool(jnp.all(jnp.isfinite(scores[:, 0])))
+
+
+def _count_static_scales(tree) -> int:
+    n = 0
+
+    def walk(p):
+        nonlocal n
+        if isinstance(p, dict):
+            if "x_scale" in p or "in_proj_x_scale" in p:
+                n += 1
+            for v in p.values():
+                walk(v)
+        elif isinstance(p, (list, tuple)):
+            for v in p:
+                walk(v)
+
+    walk(tree)
+    return n
+
+
+def test_calibrated_static_scales_student():
+    """calibrate_activation_scales bakes a static x_scale into every
+    quantized layer the calibration forward touches; the static path stays
+    within int8 error of float, jits, and the input (dynamic) tree is left
+    untouched.  On the calibration batch itself, static scales equal the
+    dynamic per-example scale of the worst example, so features move only
+    by quantization-grid rounding."""
+    from imagecaptioner_tpu.core.config import full_student_config
+    from imagecaptioner_tpu.models import student as SM
+
+    cfg = full_student_config(V, dropout=0.0, image_size=64)
+    p, s = SM.student_init(jax.random.PRNGKey(0), cfg)
+    pq = Q.quantize_student_encoder_int8(p)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 3, 64, 64)) * 0.5
+
+    pc = Q.calibrate_activation_scales(
+        pq, lambda q: SM.encode_image(q, s, x, cfg, train=False))
+    n_q = Q.count_quantized(pc)
+    assert _count_static_scales(pc) == n_q and n_q >= 20
+    assert _count_static_scales(pq) == 0  # input tree untouched
+
+    _, ref_f, _ = SM.encode_image(p, s, x, cfg, train=False)
+    _, ref_c, _ = SM.encode_image(pc, s, x, cfg, train=False)
+    rel = float(jnp.linalg.norm(ref_c - ref_f) / jnp.linalg.norm(ref_f))
+    assert rel < 0.10, rel
+
+    # static path compiles (no concretization of x_scale at trace time)
+    f = jax.jit(lambda q, xx: SM.encode_image(q, s, xx, cfg, train=False)[1])
+    out = f(pc, x)
+    assert bool(jnp.all(jnp.isfinite(out.astype(jnp.float32))))
+
+    # margin scales every baked value
+    pm = Q.calibrate_activation_scales(
+        pq, lambda q: SM.encode_image(q, s, x, cfg, train=False), margin=2.0)
+
+    def collect(t, out):
+        if isinstance(t, dict):
+            if "x_scale" in t:
+                out.append(np.asarray(t["x_scale"]))
+            for v in t.values():
+                collect(v, out)
+        elif isinstance(t, (list, tuple)):
+            for v in t:
+                collect(v, out)
+        return out
+
+    ones, twos = collect(pc, []), collect(pm, [])
+    assert len(ones) == len(twos) > 0
+    np.testing.assert_allclose(np.asarray(twos), 2.0 * np.asarray(ones),
+                               rtol=1e-6)
+
+
+def test_calibrated_static_scales_teacher_mha():
+    """Packed MHA in_proj dicts gain in_proj_x_scale (recorded against the
+    PACKED weight across the q/k/v inputs) and the full-int8 teacher forward
+    + packed beam still run within error bounds on the static path."""
+    from imagecaptioner_tpu.core.config import TeacherConfig
+    from imagecaptioner_tpu.models import teacher as TM
+    from imagecaptioner_tpu.ops import decode as D
+
+    cfg = TeacherConfig(vocab_size=V, embed_size=64, num_heads=4,
+                        num_decoder_layers=2, dropout=0.0, encoder_dim=48,
+                        encoder_depth=2, encoder_heads=4, image_size=64)
+    p = TM.teacher_init(jax.random.PRNGKey(0), cfg)
+    pq = Q.quantize_teacher_full_int8(p)
+    img = jax.random.normal(jax.random.PRNGKey(1), (2, 3, 64, 64)) * 0.5
+    caps = jax.random.randint(jax.random.PRNGKey(2), (6, 2), 1, V)
+
+    pc = Q.calibrate_activation_scales(
+        pq, lambda q: TM.teacher_apply(q, img, caps, cfg))
+
+    def has_in_proj_scale(t):
+        if isinstance(t, dict):
+            if "in_proj_x_scale" in t:
+                return True
+            return any(has_in_proj_scale(v) for v in t.values())
+        if isinstance(t, (list, tuple)):
+            return any(has_in_proj_scale(v) for v in t)
+        return False
+
+    assert has_in_proj_scale(pc["decoder"])
+    # the teacher-forward calibration reaches every quantized layer
+    assert _count_static_scales(pc) == Q.count_quantized(pc)
+
+    lf = TM.teacher_apply(p, img, caps, cfg)
+    lc = TM.teacher_apply(pc, img, caps, cfg)
+    rel = float(jnp.linalg.norm(lc - lf) / jnp.linalg.norm(lf))
+    assert rel < 0.15, rel
+
+    mem = TM.encode_image(pc, img, cfg)
+    seqs, scores, lens = D.beam_search_teacher_packed(
+        pc, mem, cfg, max_length=6, beam_size=3)
+    assert seqs.shape[:2] == (2, 3)
+    assert bool(jnp.all(jnp.isfinite(scores[:, 0])))
+
+
+def test_calibration_refuses_traced_forward():
+    from imagecaptioner_tpu.core.config import compact_student_config
+    from imagecaptioner_tpu.models import student as SM
+
+    cfg = compact_student_config(V, dropout=0.0, image_size=64)
+    p, s = SM.student_init(jax.random.PRNGKey(0), cfg)
+    pq = Q.quantize_student_encoder_int8(p)
+    x = jnp.zeros((2, 3, 64, 64))
+    # disable_jit() makes jit a no-op, but vmap still traces — a transformed
+    # forward hands the recorder a tracer: that must be a loud error, not
+    # silently-missing scales
+    vf = jax.vmap(
+        lambda xx: SM.encode_image(pq, s, xx[None], cfg, train=False)[1])
+    with pytest.raises(RuntimeError, match="eagerly"):
+        Q.calibrate_activation_scales(pq, lambda q: vf(x))

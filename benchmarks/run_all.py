@@ -466,7 +466,8 @@ def config_4():
 
 def config_5_converged(workdir: str, *, epochs_teacher: int = 12,
                        epochs_kd: int = 200, images: int = 256,
-                       recipe: str = "grounded", reuse: bool = True):
+                       recipe: str = "grounded", reuse: bool = True,
+                       task: str = "grid"):
     """Converged end-to-end KD benchmark recording captioning parity.
 
     The reference's headline claim is a student at 85-95% of teacher BLEU-1
@@ -505,7 +506,8 @@ def config_5_converged(workdir: str, *, epochs_teacher: int = 12,
     if not os.path.exists(os.path.join(data, "captions_clean.csv")):
         os.makedirs(data, exist_ok=True)
         make_synthetic_dataset(data, n_images=images, captions_per_image=1,
-                               image_size=224, seed=0, learnable=True)
+                               image_size=224, seed=0, learnable=True,
+                               task=task)
     out = os.path.join(workdir, f"saved_models_{recipe}")
     teacher_ckpt = os.path.join(out, "best_teacher_model.npz")
     student_ckpt = os.path.join(out, "best_student_model.npz")
@@ -554,19 +556,35 @@ def config_5_converged(workdir: str, *, epochs_teacher: int = 12,
     s_bleu1 = report["student"]["bleu1"]
     t_bleu1 = report["teacher"]["bleu1"]
 
-    # grounding evidence: the student must BEAT the best constant caption
+    # grounding evidence: the student must BEAT the best constant caption.
+    # Candidates: every observed caption, plus a greedy adversarial constant
+    # built token-by-token (stronger than any observed caption under the
+    # no-brevity-penalty BLEU; see scripts/check_constant_floor.py).
     rows = report["comparisons"]
     refs = [r["reference"].lower().split() for r in rows]
     s_caps = [r.get("student", "") for r in rows]
+
+    def mean_b1(cand):
+        return float(np.mean([MET.bleu_n(list(cand), ref, 1)
+                              for ref in refs]))
+
     const_baseline = max(
-        float(np.mean([MET.bleu_n(list(c), ref, 1) for ref in refs]))
-        for c in ({tuple(ref) for ref in refs}
-                  | {tuple(c.lower().split()) for c in s_caps}))
+        mean_b1(c) for c in ({tuple(ref) for ref in refs}
+                             | {tuple(c.lower().split()) for c in s_caps}))
+    vocab_words = sorted({t for ref in refs for t in ref})
+    adv, adv_best = [], 0.0
+    for _ in range(16):
+        sc, tok = max((mean_b1(adv + [t]), t) for t in vocab_words)
+        if sc <= adv_best:
+            break
+        adv_best, adv = sc, adv + [tok]
+    const_baseline = max(const_baseline, adv_best)
     hist = json.load(open(os.path.join(out,
                                        "student_training_history.json")))
     return {
         "name": "end_to_end_kd_run_converged",
         "recipe": recipe,
+        "task": task,
         "images": images,
         "epochs": {"teacher": epochs_teacher, "kd": epochs_kd},
         "teacher_train_s": t_teacher, "kd_train_s": t_kd,
@@ -644,6 +662,10 @@ def main():
     ap.add_argument("--images", type=int, default=256)
     ap.add_argument("--recipe", default="grounded",
                     choices=["grounded", "reference"])
+    ap.add_argument("--task", default="grid", choices=["grid", "bands"],
+                    help="synthetic task for --converged (grid = the "
+                         "discriminative r4 task, constant floor ~0.27; "
+                         "bands = the r3 task, floor 0.648)")
     ap.add_argument("--no-reuse", action="store_true",
                     help="retrain even if checkpoints exist in --workdir")
     args = ap.parse_args()
@@ -677,7 +699,8 @@ def main():
             results[key] = config_5_converged(
                 args.workdir, epochs_teacher=args.epochs_teacher,
                 epochs_kd=args.epochs_kd, images=args.images,
-                recipe=args.recipe, reuse=not args.no_reuse)
+                recipe=args.recipe, reuse=not args.no_reuse,
+                task=args.task)
         else:
             key = "5"
             results[key] = config_5(args.epochs)

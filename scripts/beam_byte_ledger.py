@@ -1,0 +1,222 @@
+#!/usr/bin/env python
+"""HBM byte ledger for the teacher's packed beam-decode loop (VERDICT r3 #1).
+
+The packed beam search (ops/decode.beam_search_teacher_packed — the rebuild
+of the reference's only inference path, teacher_model.py:108-252) is
+HBM-bound: every token step re-reads the decoder weights, the self-KV cache,
+and the per-image cross-attention K/V.  This script makes that claim
+QUANTITATIVE, the way core/timing.py's physics guard does for FLOPs:
+
+  1. measures this chip's achievable HBM bandwidth (big-array triad, device
+     time from the XLA profiler — immune to the relay dispatch floor);
+  2. computes the loop's unavoidable bytes/step analytically from the config
+     (weights + self-KV + cross-KV + logits + embeddings), giving a
+     lower-bound ms for the fixed 20-step loop;
+  3. profiles the decode loop ALONE (encoder excluded, memory pre-staged)
+     per-HLO and records measured-vs-bound for each arm.
+
+Arms: float bf16 and static-int8 decoder weights (quantize_teacher_full_int8
++ calibrated activation scales, ops/quant.py) at several pack widths N.
+Fixed-work loops (early_exit=False) so every arm does identical work.
+
+Writes benchmarks/beam_byte_ledger.json.
+Usage: python scripts/beam_byte_ledger.py [--ns 8 16 32] [--arms float int8]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+BYTES = {"bf16": 2, "f32": 4, "int8": 1}
+
+
+def decode_step_bytes(E: int, L: int, V: int, N: int, K: int, S: int,
+                      mem_len: int, *, weight_bytes: int = 2,
+                      kv_bytes: int = 2) -> dict:
+    """Unavoidable HBM bytes per decode step (lower bound: each term is
+    traffic the loop cannot avoid reading/writing once per step).
+
+    Weight terms follow the actual step (transformer.decoder_step_cached):
+    self in_proj (3E,E) + out_proj (E,E); cross Q-slice (E,E) only
+    (_proj_q — cross K/V are precomputed) + out_proj (E,E); FFN
+    (2E,E)+(E,2E) [dim_feedforward = 2E, teacher_model.py:63]; the vocab
+    head (V,E) + pre-output norm.  Biases/norms are O(E) noise but counted.
+    """
+    NK = N * K
+    per_layer_w = (3 * E * E + E * E) + (E * E + E * E) + (2 * E * E) * 2
+    per_layer_bias = 3 * E + E + E + E + 2 * E + E + 6 * E
+    weights = L * (per_layer_w + per_layer_bias) * weight_bytes
+    head = (V * E) * weight_bytes + V * 4 + 2 * E * 4  # fc_out + norm f32
+    # scales for the int8 arm ride along (O-sized f32 vectors)
+    if weight_bytes == 1:
+        head += V * 4
+        weights += L * (3 * E + E + E + E + 2 * E + E) * 4
+    self_kv_read = 2 * L * NK * E * S * kv_bytes       # full cache, k and v
+    self_kv_write = 2 * L * NK * E * kv_bytes          # one position's rows
+    cross_kv_read = 2 * L * N * mem_len * E * kv_bytes  # per IMAGE (grouped)
+    logits = 2 * NK * V * 4                            # f32 write + top_k read
+    embed = NK * E * (kv_bytes + 2)                    # token rows + PE add
+    total = (weights + head + self_kv_read + self_kv_write + cross_kv_read
+             + logits + embed)
+    return {
+        "weights": weights + head,
+        "self_kv_read": self_kv_read,
+        "self_kv_write": self_kv_write,
+        "cross_kv_read": cross_kv_read,
+        "logits_material": logits,
+        "embedding": embed,
+        "total_per_step": total,
+    }
+
+
+def measure_hbm_bw(runs: int = 4) -> dict:
+    """Achievable HBM bandwidth: triad c = a + b over 256 MB f32 arrays
+    (reads 2x256 + writes 256 = 768 MB per call), device time from the
+    profiler.  Distinct inputs per call (relay dedupe rule)."""
+    import jax
+    import jax.numpy as jnp
+
+    from imagecaptioner_tpu.core import profiling
+
+    n = 64 * 1024 * 1024  # 256 MB per f32 array
+
+    @jax.jit
+    def triad(ab):
+        a, b = ab
+        return a + b
+
+    def mk(i):
+        k = jax.random.split(jax.random.PRNGKey(7000 + i))
+        return (jax.random.normal(k[0], (n,), jnp.float32),
+                jax.random.normal(k[1], (n,), jnp.float32))
+
+    prof = profiling.profile_device(triad, mk, runs=runs)
+    dur_us = (prof["program_us_per_run"]
+              or sum(r["dur_us_per_run"] for r in prof["rows"]))
+    gbs = (3 * n * 4) / (dur_us * 1e-6) / 1e9
+    return {"triad_bytes": 3 * n * 4, "device_us_per_call": dur_us,
+            "achievable_gb_s": gbs}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ns", nargs="+", type=int, default=[8, 16, 32])
+    ap.add_argument("--arms", nargs="+", default=["float", "int8"],
+                    choices=["float", "int8"])
+    ap.add_argument("--beam", type=int, default=5)
+    ap.add_argument("--max-length", type=int, default=20)
+    ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--vocab", type=int, default=2994)
+    ap.add_argument("--out", default=os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "benchmarks", "beam_byte_ledger.json"))
+    args = ap.parse_args()
+
+    from imagecaptioner_tpu.core.runtime import enable_compile_cache
+
+    enable_compile_cache()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from imagecaptioner_tpu.core import precision as P
+    from imagecaptioner_tpu.core import profiling
+    from imagecaptioner_tpu.core.config import TeacherConfig
+    from imagecaptioner_tpu.models import teacher as TM
+    from imagecaptioner_tpu.ops import decode as D
+
+    cfg = TeacherConfig(vocab_size=args.vocab)
+    K, MAX_LEN = args.beam, args.max_length
+    S = MAX_LEN + 1
+    E, L, V = cfg.embed_size, cfg.num_decoder_layers, cfg.vocab_size
+    mem_len = (cfg.image_size // 16) ** 2 + 1  # ViT-S/16 tokens + CLS
+
+    out = {"config": {"embed": E, "layers": L, "vocab": V, "beam": K,
+                      "max_length": MAX_LEN, "mem_len": mem_len}}
+    if os.path.exists(args.out):
+        with open(args.out) as f:
+            out.update(json.load(f))
+
+    print("measuring achievable HBM bandwidth...", flush=True)
+    out["hbm"] = measure_hbm_bw()
+    gbs = out["hbm"]["achievable_gb_s"]
+    print(f"  triad: {gbs:,.0f} GB/s achievable", flush=True)
+
+    params_f = P.bf16_compute(TM.teacher_init(jax.random.PRNGKey(0), cfg))
+
+    def int8_static_params():
+        from imagecaptioner_tpu.ops.quant import (
+            calibrate_activation_scales, quantize_teacher_full_int8)
+
+        q = quantize_teacher_full_int8(params_f)
+        cpu = jax.devices("cpu")[0]
+        host = jax.device_get(q)
+        cal_x = np.asarray(jax.random.normal(
+            jax.random.PRNGKey(98), (2, 3, cfg.image_size, cfg.image_size),
+            jnp.float32))
+        cal_caps = np.asarray(jax.random.randint(
+            jax.random.PRNGKey(97), (8, 2), 4, V), np.int32)
+        with jax.default_device(cpu):
+            host = calibrate_activation_scales(
+                host, lambda p: TM.teacher_apply(p, cal_x, cal_caps, cfg))
+        return jax.device_put(host)
+
+    arms = {}
+    if "float" in args.arms:
+        arms["float"] = (params_f, 2)
+    if "int8" in args.arms:
+        print("calibrating static-int8 decoder (CPU eager)...", flush=True)
+        arms["int8_static"] = (int8_static_params(), 1)
+
+    for arm, (params, wbytes) in arms.items():
+        for N in args.ns:
+            led = decode_step_bytes(E, L, V, N, K, S, mem_len,
+                                    weight_bytes=wbytes)
+            bound_ms = led["total_per_step"] * MAX_LEN / (gbs * 1e9) * 1e3
+
+            def loop(memory):
+                return D.beam_search_teacher_packed(
+                    params, memory, cfg, max_length=MAX_LEN, beam_size=K,
+                    early_exit=False)[0]
+
+            loop_j = jax.jit(loop)
+
+            def mk(i):
+                return jax.random.normal(
+                    jax.random.PRNGKey(50_000 + i), (N, mem_len, E),
+                    jnp.bfloat16)
+
+            prof = profiling.profile_device(loop_j, mk, runs=args.runs)
+            meas_us = (prof["program_us_per_run"]
+                       or sum(r["dur_us_per_run"] for r in prof["rows"]))
+            n_ops = sum(r.get("count_per_run", 0) for r in prof["rows"])
+            rec = {
+                "images_per_call": N,
+                "bytes_per_step": led,
+                "bound_ms_fixed20": bound_ms,
+                "measured_loop_ms": meas_us / 1e3,
+                "measured_over_bound": meas_us / 1e3 / bound_ms,
+                "loop_images_per_sec": N / (meas_us / 1e6),
+                "hlo_ops_per_call": n_ops,
+                "by_category": prof["by_category"][:8],
+            }
+            arms_key = f"{arm}_N{N}"
+            out[arms_key] = rec
+            print(f"{arms_key}: bound {bound_ms:.3f} ms, measured "
+                  f"{meas_us/1e3:.3f} ms ({rec['measured_over_bound']:.2f}x),"
+                  f" {rec['loop_images_per_sec']:,.0f} img/s loop-only, "
+                  f"{n_ops:.0f} HLO ops/call", flush=True)
+
+    with open(args.out, "w") as f:
+        json.dump(out, f, indent=1)
+    print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -305,6 +305,15 @@ def config_4():
     teacher_params = TM.teacher_init(k1, t_cfg)
     rng = np.random.default_rng(0)
 
+    def _variant_cfg(variant, decoder_impl):
+        from imagecaptioner_tpu.core.config import (compact_student_config,
+                                                    enhanced_student_config)
+
+        factory = {"full": full_student_config,
+                   "compact": compact_student_config,
+                   "enhanced": enhanced_student_config}[variant]
+        return factory(2994, decoder_impl=decoder_impl)
+
     def run_impl(decoder_impl, n_steps=8, variant="full"):
         """On-device step time: batches are PRE-STAGED on device before the
         clock starts — a (1,16,224,224,3) uint8 batch is ~2.4 MB, which
@@ -313,17 +322,12 @@ def config_4():
         device_prefetch).  Steps are sequentially dependent (state threads
         through), so syncing the final loss is a true sync, and every batch
         is distinct data."""
-        if variant == "compact":
-            from imagecaptioner_tpu.core.config import compact_student_config
-
-            s_cfg = compact_student_config(2994, decoder_impl=decoder_impl)
-        else:
-            s_cfg = full_student_config(2994, decoder_impl=decoder_impl)
+        s_cfg = _variant_cfg(variant, decoder_impl)
         s_params, s_state = SM.student_init(k2, s_cfg)
         projectors, _ = create_feature_projectors(
             k3, teacher_embed=512, student_embed=s_cfg.embed_size,
             student_hidden=s_cfg.hidden_size,
-            student_seq_len=49, teacher_seq_len=197)
+            student_seq_len=s_cfg.feature_tokens, teacher_seq_len=197)
         params = {"student": s_params, "projectors": projectors}
         state = steps.TrainState(params, O.adamw_init(params), s_state)
         step = steps.make_kd_train_step(t_cfg, s_cfg, DistillConfig(), tr,
@@ -362,17 +366,12 @@ def config_4():
         per-step rate approaches this streamed number."""
         import functools
 
-        if variant == "compact":
-            from imagecaptioner_tpu.core.config import compact_student_config
-
-            s_cfg = compact_student_config(2994, decoder_impl=decoder_impl)
-        else:
-            s_cfg = full_student_config(2994, decoder_impl=decoder_impl)
+        s_cfg = _variant_cfg(variant, decoder_impl)
         s_params, s_state = SM.student_init(k2, s_cfg)
         projectors, _ = create_feature_projectors(
             k3, teacher_embed=512, student_embed=s_cfg.embed_size,
             student_hidden=s_cfg.hidden_size,
-            student_seq_len=49, teacher_seq_len=197)
+            student_seq_len=s_cfg.feature_tokens, teacher_seq_len=197)
         params = {"student": s_params, "projectors": projectors}
         state = steps.TrainState(params, O.adamw_init(params), s_state)
         if tr_step is None and batch != 16:
@@ -425,12 +424,20 @@ def config_4():
         # the optimized KD trainer's production student (VERDICT r2 #6)
         out["compact_pallas"] = run_impl("pallas", variant="compact")
         out["compact_scan"] = run_impl("scan", variant="compact")
+        # the enhanced student's trainable kernel (VERDICT r3 weak #5: it
+        # shipped as a default with no recorded arm)
+        out["enhanced_pallas"] = run_impl("pallas", variant="enhanced")
+        out["enhanced_scan"] = run_impl("scan", variant="enhanced")
         # dispatch-amortized device rates (see run_impl_streamed docstring)
         out["pallas_streamed"] = run_impl_streamed("pallas")
         out["compact_pallas_streamed"] = run_impl_streamed(
             "pallas", variant="compact")
         out["compact_scan_streamed"] = run_impl_streamed(
             "scan", variant="compact")
+        out["enhanced_pallas_streamed"] = run_impl_streamed(
+            "pallas", variant="enhanced")
+        out["enhanced_scan_streamed"] = run_impl_streamed(
+            "scan", variant="enhanced")
         # flagged deviation: frozen teacher's forward in bf16 (KD targets
         # still fp32) — the teacher was the single largest step component
         # (4.5 of 10.5 ms, benchmarks/kd_step_profile.json)

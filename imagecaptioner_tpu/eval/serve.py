@@ -64,7 +64,16 @@ def main(argv=None):
                     help="with --int8/--int8-full: bake static activation "
                          "scales calibrated on the first N input images "
                          "(eager, CPU backend) — removes the per-layer "
-                         "dynamic amax pass from the serving graph")
+                         "dynamic amax pass from the serving graph. "
+                         "Decoder arms calibrate on tokens the model "
+                         "actually decodes for those images (a float "
+                         "greedy pass), not a placeholder batch.")
+    ap.add_argument("--int8-margin", type=float, default=None,
+                    help="headroom multiplier on calibrated activation "
+                         "scales (out-of-range activations clip at +/-127)."
+                         " Default 1.0 encoder-only, 1.25 with --int8-full "
+                         "(decoder activations at serve time range wider "
+                         "than any finite calibration set)")
     ap.add_argument("--data-parallel", action="store_true",
                     help="shard batches over all local devices "
                          "(batch must divide by the device count)")
@@ -99,7 +108,7 @@ def main(argv=None):
         print(f"no images found under {args.images}")
         return 1
 
-    def calibrate_static(qparams, size, fwd):
+    def calibrate_static(qparams, size, fwd, *, margin):
         """Bake static activation scales from the first --int8-calibrate
         input images.  ``fwd(host_params, images)`` runs the serving forward;
         it executes EAGERLY on the CPU backend (eager through the TPU relay
@@ -116,8 +125,10 @@ def main(argv=None):
         host = jax.device_get(qparams)
         with jax.default_device(jax.devices("cpu")[0]):
             host = calibrate_activation_scales(host,
-                                               lambda q: fwd(q, imgs))
-        print(f"[int8] static activation scales calibrated on {n} images")
+                                               lambda q: fwd(q, imgs),
+                                               margin=margin)
+        print(f"[int8] static activation scales calibrated on {n} images "
+              f"(margin {margin})")
         return jax.tree.map(jnp.asarray, host)
 
     mesh = None
@@ -135,6 +146,7 @@ def main(argv=None):
         cfg = TeacherConfig(vocab_size=int(ckpt["vocab_size"]),
                             **ckpt.get("model_config", {}))
         params = jax.tree.map(jnp.asarray, ckpt["model_state_dict"]["params"])
+        fparams = params
         if args.int8_full:
             from imagecaptioner_tpu.ops.quant import quantize_teacher_full_int8
 
@@ -145,12 +157,31 @@ def main(argv=None):
 
             params = quantize_teacher_encoder_int8(params)
         if args.int8_calibrate and (args.int8 or args.int8_full):
-            # the full teacher forward reaches encoder AND decoder weights
-            cal_caps = np.ones((4, max(1, min(args.int8_calibrate,
-                                              len(files)))), np.int32)
+            # Representative decoder activations (ADVICE r3): greedy-decode
+            # the calibration images with the FLOAT model (jitted, cheap)
+            # and calibrate the full forward on THOSE token sequences — the
+            # embeddings/hidden states beam decode actually visits, not a
+            # placeholder batch.  The margin (default 1.25 for decoder
+            # arms) covers beam prefixes outside the greedy set.
+            from imagecaptioner_tpu.data.vocabulary import START as _START
+
+            n_cal = max(1, min(args.int8_calibrate, len(files)))
+            cal_imgs = T.normalize(jnp.asarray(np.stack(
+                [np.asarray(Image.open(f).convert("RGB").resize(
+                    (cfg.image_size,) * 2, Image.BILINEAR), np.uint8)
+                 for f in files[:n_cal]])))
+            cal_mem = TM.encode_image(fparams, cal_imgs, cfg)
+            toks = np.asarray(D.greedy_decode_teacher(
+                fparams, cal_mem, cfg, max_length=args.max_length))
+            cal_caps = np.concatenate(
+                [np.full((1, n_cal), _START, np.int32),
+                 toks.T.astype(np.int32)])
+            margin = (args.int8_margin if args.int8_margin is not None
+                      else (1.25 if args.int8_full else 1.0))
             params = calibrate_static(
                 params, cfg.image_size,
-                lambda q, im: TM.teacher_apply(q, im, cal_caps, cfg))
+                lambda q, im: TM.teacher_apply(q, im, cal_caps, cfg),
+                margin=margin)
         if mesh is not None:
             from imagecaptioner_tpu.eval.serving import make_dp_beam_captioner
 
@@ -184,7 +215,9 @@ def main(argv=None):
                 params = calibrate_static(
                     params, cfg.image_size,
                     lambda q, im: SM.encode_image(q, mstate_h, im, cfg,
-                                                  train=False))
+                                                  train=False),
+                    margin=(args.int8_margin if args.int8_margin is not None
+                            else 1.0))
         rng = (None if args.temperature == 1.0
                else jax.random.PRNGKey(args.seed))
         if mesh is not None:

@@ -21,6 +21,16 @@ from imagecaptioner_tpu.core import modules as M
 
 Params = Dict
 
+# Ancestry-attention formulation A/B (see _attend_anc / _attend_anc_sel):
+# "sel" contracts the one-hot lineage BEFORE the softmax (K-fold smaller
+# softmax material — avoids the XLA fusion cliff measured at N>=16,
+# benchmarks/beam_byte_ledger.json); "joint" is the round-3 joint-softmax
+# form.  Token/score equivalence of the two is test-enforced
+# (tests/test_beam_batched.py).
+import os as _os
+
+_ANC_IMPL = _os.environ.get("IC_BEAM_ANC_IMPL", "sel")
+
 
 def decoder_layer_init(key, d_model: int, dim_feedforward: int) -> Params:
     ks = jax.random.split(key, 4)
@@ -274,6 +284,48 @@ def _attend_anc(q, k, v, anc_hot, num_heads: int, causal):
     return ctx.reshape(r, 1, e)
 
 
+def _attend_anc_sel(q, k, v, anc_hot, num_heads: int, causal):
+    """``_attend_anc`` with the lineage SELECTION applied before the softmax.
+
+    The joint-softmax formulation materializes (N, H, K, K, S) logits and
+    softmaxes over K*S; measured per-HLO this hits an XLA fusion cliff at
+    N>=16 (an 'output fusion' around the softmax sub grows to 1.8/3.6 ms
+    per call at N=16/32 — benchmarks/beam_byte_ledger.json, absent at N=8).
+    Here the one-hot selection contracts the slot axis FIRST (exact: one
+    1.0 multiplier per (i, s), the rest 0.0), the softmax runs over the
+    K-fold smaller (N, H, K, S) tensor, and the weights are scattered back
+    onto slots as an elementwise producer of the context contraction.
+    Mathematically identical to ``_attend_anc`` (adding exact zeros);
+    token/score equivalence is test-enforced, fp-bitwise it may differ in
+    the last ulp (different reduction tree over the same selected terms).
+    """
+    r, _, e = q.shape
+    hd = e // num_heads
+    N, K, S, _ = anc_hot.shape
+    qh = q.reshape(N, K, num_heads, hd)
+    kh = k.reshape(N, K, num_heads, S, hd)
+    vh = v.reshape(N, K, num_heads, S, hd)
+    prec = (jax.lax.Precision.HIGHEST if qh.dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+    s_all = jnp.einsum("nihd,njhsd->nhijs", qh, kh,
+                       preferred_element_type=jnp.float32,
+                       precision=prec) / jnp.sqrt(jnp.float32(hd))
+    # exact lineage pick: one-hot contraction in f32 (1.0 * x + 0.0s = x)
+    sel = jnp.einsum("nhijs,nisj->nhis", s_all,
+                     anc_hot.astype(jnp.float32),
+                     precision=jax.lax.Precision.HIGHEST)
+    logits = jnp.where(causal[..., 0, :], -jnp.inf, sel)  # (N,H,K,S)
+    w = jax.nn.softmax(logits, axis=-1)
+    # scatter weights back onto slots; fuses as a producer of the dot
+    wj = (w[:, :, :, None, :]
+          * anc_hot.transpose(0, 1, 3, 2)[:, None].astype(jnp.float32))
+    ctx = jnp.einsum("nhijs,njhsd->nihd", wj.astype(vh.dtype)
+                     if vh.dtype != jnp.float32 else wj, vh,
+                     preferred_element_type=jnp.float32,
+                     precision=prec).astype(vh.dtype)
+    return ctx.reshape(r, 1, e)
+
+
 def decoder_step_cached(
     layers: List[Params], x_t: jnp.ndarray, pos: jnp.ndarray,
     self_kv: List[Params], mem_kv: List[Params], *, num_heads: int,
@@ -346,7 +398,9 @@ def decoder_step_cached(
                 q, {"k": k_cache, "v": v_cache}, anc, pos,
                 num_heads=num_heads, interpret=impl == "interpret")
         elif anc_hot is not None:
-            sa = _attend_anc(q, k_cache, v_cache, anc_hot, num_heads, causal)
+            attend = (_attend_anc_sel if _ANC_IMPL == "sel"
+                      else _attend_anc)
+            sa = attend(q, k_cache, v_cache, anc_hot, num_heads, causal)
         else:
             sa = _attend_hm(q, k_cache, v_cache, num_heads, mask=causal)
         sa = M.dense(p["self_attn"]["out_proj"], sa)

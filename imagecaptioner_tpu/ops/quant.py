@@ -29,16 +29,22 @@ decoders are Pallas-kernel territory and numerically load-bearing
 (argmax over near-tie logits), while the encoder's conv stack is where all
 the FLOPs are (serving_hlo_profile.json: 2.30 of 2.61 ms).
 
-The TEACHER's transformer decoder is the exception
+The TEACHER's transformer decoder can also be quantized
 (:func:`quantize_teacher_full_int8`): its beam decode loop re-reads every
-decoder weight each token step (~29 MB bf16/step at the 512/8/4 config —
+decoder weight each token step (~24 MB bf16/step at the 512/8/4 config —
 in_proj + out_proj + FFN x4 layers + the vocab head) and the loop is
-HBM-bound (benchmarks/beam_ablation.json), so int8 weights halve the
-loop's largest traffic term.  Packed MHA ``in_proj_weight`` matrices get
-their own keys (``in_proj_weight_q`` + ``in_proj_scale``; per-output-row
-scales stay q/k/v-consistent because axis 0 is the packed output);
-``transformer._proj_qkv``/``_proj_q`` and ``modules.multi_head_attention``
-dispatch on them.  Embeddings, norms, and the KV caches stay float.
+HBM-bound (benchmarks/beam_byte_ledger.json), so int8 halves that traffic
+term.  MEASURED OUTCOME: the arm is SLOWER end to end at every recorded
+shape (dynamic beam 2,294 vs 2,617 img/s; static decode loop 1.99 vs
+1.83 ms at N=8) — the added quant/dequant ops outweigh the byte saving at
+the beam's tiny (N*K, E) per-step shapes — so it stays opt-in and is NOT
+the recommended serving mode; the greedy ENCODER arms are where int8 pays
+(+24% with static scales, `greedy_int8_static`).  Packed MHA
+``in_proj_weight`` matrices get their own keys (``in_proj_weight_q`` +
+``in_proj_scale``; per-output-row scales stay q/k/v-consistent because
+axis 0 is the packed output); ``transformer._proj_qkv``/``_proj_q`` and
+``modules.multi_head_attention`` dispatch on them.  Embeddings, norms, and
+the KV caches stay float.
 """
 
 from __future__ import annotations
@@ -258,12 +264,14 @@ def quantize_teacher_encoder_int8(params):
 
 def quantize_teacher_full_int8(params):
     """Serving copy of a teacher param tree with encoder AND transformer
-    decoder quantized, packed MHA in_proj matrices included.  The beam
-    decode loop re-reads the decoder weights every token step and is
-    HBM-bound, so int8 halves its largest traffic term (module docstring).
-    Embedding, norms, and KV caches stay float; beam ordering quality must
-    be validated per-checkpoint (scripts/bench_int8_quality.py records a
-    ``teacher_full`` arm)."""
+    decoder quantized, packed MHA in_proj matrices included.  Halves the
+    beam loop's per-step weight re-read — but MEASURED SLOWER than the
+    float decoder at every recorded shape (module docstring; quant/dequant
+    op overhead dominates at the beam's tiny per-step shapes), so this arm
+    is opt-in evidence, not the recommendation.  Embedding, norms, and KV
+    caches stay float; beam ordering quality must be validated
+    per-checkpoint (scripts/bench_int8_quality.py records
+    ``teacher_beam_full`` / ``--static`` arms)."""
     return quantize_params_int8(params, mha=True)
 
 

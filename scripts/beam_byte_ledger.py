@@ -112,6 +112,10 @@ def main():
     ap.add_argument("--max-length", type=int, default=20)
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--vocab", type=int, default=2994)
+    ap.add_argument("--skip-hbm", action="store_true",
+                    help="reuse the hbm record already in --out (the triad "
+                         "costs ~5 min of 256 MB device_gets through the "
+                         "relay)")
     ap.add_argument("--out", default=os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "benchmarks", "beam_byte_ledger.json"))
@@ -143,8 +147,11 @@ def main():
         with open(args.out) as f:
             out.update(json.load(f))
 
-    print("measuring achievable HBM bandwidth...", flush=True)
-    out["hbm"] = measure_hbm_bw()
+    if args.skip_hbm and "hbm" in out:
+        print("reusing recorded HBM bandwidth", flush=True)
+    else:
+        print("measuring achievable HBM bandwidth...", flush=True)
+        out["hbm"] = measure_hbm_bw()
     gbs = out["hbm"]["achievable_gb_s"]
     print(f"  triad: {gbs:,.0f} GB/s achievable", flush=True)
 

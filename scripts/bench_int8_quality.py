@@ -34,6 +34,16 @@ def main():
     ap.add_argument("--workdir", default="/tmp/ic_converged_ref")
     ap.add_argument("--recipe", default="reference")
     ap.add_argument("--n", type=int, default=32)
+    ap.add_argument("--static", action="store_true",
+                    help="also record the STATIC-scale arms: activation "
+                         "scales calibrated on the first --calib-n images "
+                         "(teacher decoder arms calibrate on its own "
+                         "greedy-decoded tokens; margin --margin), then "
+                         "quality measured on all --n images — the "
+                         "clipping-vs-quality record the static serving "
+                         "mode (ops/quant.py, greedy_int8_static) needs")
+    ap.add_argument("--calib-n", type=int, default=8)
+    ap.add_argument("--margin", type=float, default=1.25)
     ap.add_argument("--out", default=os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "benchmarks", "int8_quality.json"))
@@ -100,21 +110,58 @@ def main():
             max(bleu_n(c.split(), r.split(), 1) for r in refs[n])
             for c, n in zip(caps, names)]))
 
+    def calibrate(pq, run_fwd):
+        """Static activation scales on the first --calib-n eval images,
+        eagerly on the CPU backend (calibrate_activation_scales)."""
+        host = jax.device_get(pq)
+        cal_imgs = np.asarray(images[:args.calib_n], np.float32)
+        with jax.default_device(jax.devices("cpu")[0]):
+            host = Q.calibrate_activation_scales(
+                host, lambda q: run_fwd(q, cal_imgs), margin=args.margin)
+        return jax.tree.map(jnp.asarray, host)
+
+    def teacher_cal_fwd(q, ims):
+        # representative decoder tokens: the model's own greedy captions
+        # for the calibration images (ADVICE r3 — not a placeholder batch)
+        mem = TM.encode_image(tp, jnp.asarray(ims), t_cfg)
+        toks = np.asarray(D.greedy_decode_teacher(tp, mem, t_cfg,
+                                                  max_length=20))
+        caps = np.concatenate([np.ones((1, len(ims)), np.int32),
+                               toks.T.astype(np.int32)])
+        return TM.teacher_apply(q, ims, caps, t_cfg)
+
+    def student_cal_fwd(q, ims):
+        return SM.encode_image(q, jax.device_get(ss), ims, s_cfg,
+                               train=False)
+
+    arms = [
+        ("teacher_beam", teacher_caps, tp,
+         Q.quantize_teacher_encoder_int8(tp), teacher_cal_fwd),
+        ("teacher_beam_full", teacher_caps, tp,
+         Q.quantize_teacher_full_int8(tp), teacher_cal_fwd),
+        ("student_greedy", student_caps, sp,
+         Q.quantize_student_encoder_int8(sp), student_cal_fwd),
+    ]
     res = {"workdir": args.workdir, "recipe": args.recipe,
            "n_images": len(names)}
-    for tag, fn, p, pq in [
-            ("teacher_beam", teacher_caps, tp,
-             Q.quantize_teacher_encoder_int8(tp)),
-            ("teacher_beam_full", teacher_caps, tp,
-             Q.quantize_teacher_full_int8(tp)),
-            ("student_greedy", student_caps, sp,
-             Q.quantize_student_encoder_int8(sp))]:
+    if args.static:
+        res["static_calibration"] = {"calib_n": args.calib_n,
+                                     "margin": args.margin}
+    for tag, fn, p, pq, cal_fwd in arms:
         c_f, c_q = fn(p), fn(pq)
         res[tag] = {
             "identical_captions": sum(a == b for a, b in zip(c_f, c_q)),
             "bleu1_f32": bleu(c_f), "bleu1_int8": bleu(c_q),
         }
         print(tag, res[tag])
+        if args.static:
+            c_s = fn(calibrate(pq, cal_fwd))
+            res[tag + "_static"] = {
+                "identical_captions": sum(
+                    a == b for a, b in zip(c_f, c_s)),
+                "bleu1_f32": bleu(c_f), "bleu1_int8_static": bleu(c_s),
+            }
+            print(tag + "_static", res[tag + "_static"])
     with open(args.out, "w") as f:
         json.dump(res, f, indent=1)
     print(f"wrote {args.out}")

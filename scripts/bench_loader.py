@@ -60,8 +60,8 @@ def synthesize_dataset(root: str, n_images: int, caps_per_image: int,
     return csv_path
 
 
-def measure(root: str, csv_path: str, num_workers: int, batch_size: int,
-            max_batches: int) -> dict:
+def measure(root: str, csv_path: str, num_workers: int,
+            batch_size: int) -> dict:
     from imagecaptioner_tpu.data.dataset import CaptionDataset
     from imagecaptioner_tpu.data.loader import BatchLoader
 
@@ -71,11 +71,10 @@ def measure(root: str, csv_path: str, num_workers: int, batch_size: int,
 
     def one_pass():
         # FULL epoch, not a truncated one: an early break used to leave the
-        # decode cache covering only max_batches*batch of the (shuffled)
-        # dataset, so "warm" pass 2 silently paid cold decodes for the rest
-        # and under-reported the cache rate by ~20-50x (measured 809 vs
-        # 17k+ img/s pure-warm).  max_batches now only bounds the dataset
-        # size chosen in main(), not the iteration.
+        # decode cache covering only part of the (shuffled) dataset, so
+        # "warm" pass 2 silently paid cold decodes for the rest and
+        # under-reported the cache rate by ~20-50x (measured 809 vs 17k+
+        # img/s pure-warm).  Dataset size is bounded by --images instead.
         it = iter(loader)
         next(it)  # warm: vocab encode cache + pool spin-up + page cache
         t0 = time.perf_counter()
@@ -99,8 +98,6 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--images", type=int, default=2000)
     ap.add_argument("--caps-per-image", type=int, default=5)
-    ap.add_argument("--batches", type=int, default=60,
-                    help="batches to time per worker setting")
     ap.add_argument("--workers", default="1,4,8")
     ap.add_argument("--steps-per-sec", type=float, default=48.2,
                     help="KD train-step rate to compare against — the "
@@ -126,7 +123,7 @@ def main():
 
     results = {"dataset_images": args.images, "sweep": []}
     for w in (int(x) for x in args.workers.split(",")):
-        r = measure(root, csv_path, w, batch_size=16, max_batches=args.batches)
+        r = measure(root, csv_path, w, batch_size=16)
         results["sweep"].append(r)
         print(f"workers={w}: {r['images_per_sec']:8.1f} img/s "
               f"({r['batches_per_sec']:.2f} batches/s)", flush=True)

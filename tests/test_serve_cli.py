@@ -85,6 +85,22 @@ def test_serve_teacher_beam_int8(artifacts):
     assert len(rows) == 5
 
 
+def test_serve_teacher_int8_full_static_calibration(artifacts):
+    """--int8-full --int8-calibrate: static scales baked from the model's
+    OWN greedy-decoded tokens for the calibration images (ADVICE r3: the
+    placeholder all-ones caption batch calibrated the decoder on
+    activations beam decode never sees)."""
+    out = str(artifacts / "teacher_int8_static.jsonl")
+    rc = serve.main([
+        "--model", "teacher", "--checkpoint", str(artifacts / "teacher.npz"),
+        "--vocab", str(artifacts / "vocab.json"),
+        "--images", str(artifacts / "imgs"), "--out", out,
+        "--batch", "4", "--max-length", "6", "--beam-size", "3",
+        "--int8-full", "--int8-calibrate", "2"])
+    assert rc == 0
+    assert len(_read(out)) == 5
+
+
 def test_serve_student_int8_matches_layout(artifacts):
     """--int8 runs end-to-end through the same CLI (quantized encoder)."""
     out = str(artifacts / "student_int8.jsonl")

@@ -94,9 +94,11 @@ def train_student_with_kd_optimized(
                "enhanced": enhanced_student_config}.get(student_variant)
     if factory is None:
         raise ValueError(f"unknown student_variant {student_variant!r}")
-    s_cfg = factory(
-        vocab_size,
-        decoder_impl="pallas" if jax.default_backend() == "tpu" else "scan")
+    # default decoder impl = the recorded per-variant measurement winner
+    # (common.recorded_decoder_impl; the optimized trainer's production
+    # student is the COMPACT one, whose kernel measured slower than scan)
+    s_cfg = factory(vocab_size,
+                    decoder_impl=common.recorded_decoder_impl(student_variant))
     if student_cfg_overrides:
         s_cfg = replace(s_cfg, **student_cfg_overrides)
 

@@ -52,6 +52,41 @@ def test_packed_beam_matches_per_image():
         np.testing.assert_array_equal(np.asarray(plen[i]), np.asarray(l))
 
 
+def test_anc_impl_sel_vs_joint_token_identical():
+    """The two ancestry-attention formulations (select-before-softmax vs
+    joint softmax, transformer._attend_anc_sel/_attend_anc) must produce
+    the same hypotheses and scores through a full packed search.  Run both
+    impls by flipping the module switch and clearing the jit caches (the
+    switch is read at trace time)."""
+    from imagecaptioner_tpu.models import transformer as TD
+
+    cfg = TeacherConfig(vocab_size=60, embed_size=32, num_heads=4,
+                        num_decoder_layers=2, dropout=0.0, encoder_dim=24,
+                        encoder_depth=2, encoder_heads=3, image_size=32,
+                        patch_size=16)
+    p = TM.teacher_init(jax.random.PRNGKey(5), cfg)
+    images = jax.random.normal(jax.random.PRNGKey(6), (3, 3, 32, 32))
+    memory = TM.encode_image(p, images, cfg)
+
+    prev = TD._ANC_IMPL
+    results = {}
+    try:
+        for impl in ("sel", "joint"):
+            TD._ANC_IMPL = impl
+            D.beam_search_teacher_packed._clear_cache()
+            results[impl] = D.beam_search_teacher_packed(
+                p, memory, cfg, max_length=8, beam_size=3)
+    finally:
+        TD._ANC_IMPL = prev
+        D.beam_search_teacher_packed._clear_cache()
+    s_sel, sc_sel, l_sel = results["sel"]
+    s_j, sc_j, l_j = results["joint"]
+    np.testing.assert_array_equal(np.asarray(s_sel), np.asarray(s_j))
+    np.testing.assert_allclose(np.asarray(sc_sel), np.asarray(sc_j),
+                               atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(l_sel), np.asarray(l_j))
+
+
 def test_packed_beam_production_dims_smoke():
     """Production teacher dims (512/8/4, 197 tokens), N=4, K=5 — shapes and
     finite scores."""

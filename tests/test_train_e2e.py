@@ -289,3 +289,21 @@ def test_checkpoint_async_roundtrip_and_snapshot_isolation():
         CKPT.save_checkpoint_async(os.path.join(d, "no", "such",
                                                 "deeply", "x.npz"), tree)
         CKPT.wait_for_saves()  # mkdir -p makes this fine: no error expected
+
+
+def test_recorded_decoder_impl_gate(monkeypatch):
+    """Per-variant decoder defaults come from recorded measurements
+    (VERDICT r3 weak #4): scan on CPU backends, the results.json #4 winner
+    on TPU, IC_DECODER_IMPL always wins."""
+    from imagecaptioner_tpu.train import common
+
+    # this suite runs on the CPU mesh -> every variant resolves to scan
+    for v in ("full", "compact", "enhanced"):
+        assert common.recorded_decoder_impl(v) == "scan"
+    monkeypatch.setenv("IC_DECODER_IMPL", "pallas")
+    assert common.recorded_decoder_impl("compact") == "pallas"
+    monkeypatch.delenv("IC_DECODER_IMPL")
+    # the recorded table itself: compact's kernel measured SLOWER than scan
+    assert common._RECORDED_DECODER_IMPL["compact"] == "scan"
+    assert set(common._RECORDED_DECODER_IMPL) == {"full", "compact",
+                                                  "enhanced"}

@@ -23,13 +23,18 @@ Params = Dict
 
 # Ancestry-attention formulation A/B (see _attend_anc / _attend_anc_sel):
 # "sel" contracts the one-hot lineage BEFORE the softmax (K-fold smaller
-# softmax material — avoids the XLA fusion cliff measured at N>=16,
-# benchmarks/beam_byte_ledger.json); "joint" is the round-3 joint-softmax
-# form.  Token/score equivalence of the two is test-enforced
-# (tests/test_beam_batched.py).
+# softmax material); "joint" is the round-3 joint-softmax form.  MEASURED
+# loop-only per-HLO at 512/8/4 K=5 (benchmarks/beam_byte_ledger.json =
+# joint, beam_byte_ledger_sel.json = sel): joint 1.83 / 4.76 / 10.32 ms
+# at N=8/16/32, sel 1.92 / 4.87 / 9.31 — sel neither fixes the N>=16
+# fusion cliff (the pathological 'output fusion' follows the ctx-einsum
+# scatter, not the softmax) nor wins at the N=8 production serving
+# point, so the default stays the recorded N=8 winner; sel remains the
+# ~10% winner at N=32 via IC_BEAM_ANC_IMPL=sel.  Token/score equivalence
+# of the two is test-enforced (tests/test_beam_batched.py).
 import os as _os
 
-_ANC_IMPL = _os.environ.get("IC_BEAM_ANC_IMPL", "sel")
+_ANC_IMPL = _os.environ.get("IC_BEAM_ANC_IMPL", "joint")
 
 
 def decoder_layer_init(key, d_model: int, dim_feedforward: int) -> Params:

@@ -12,13 +12,14 @@ import numpy as np
 # Per-variant KD-decoder implementation, decided by RECORDED measurement
 # (benchmarks/results.json config #4 decoder arms), the same discipline the
 # attention dispatch uses (`ops.pallas_attention.fused_attention_pays_off`):
-#   full     -> pallas  (kernel wins: e.g. greedy 6,515 vs 4,541 img/s;
-#                        KD step arms "pallas" vs "scan")
-#   compact  -> scan    (kernel LOSES standalone: compact_scan 939.6 vs
-#                        compact_pallas 841.0 img/s, statistically equal
-#                        streamed — VERDICT r3 weak #4; the 1-layer H=256
-#                        cell is too small for kernel launch overhead)
-#   enhanced -> pallas  (enhanced_pallas vs enhanced_scan arms, r4)
+#   full     -> pallas  (kernel wins: KD streamed 1,807 img/s, greedy
+#                        6,515 vs 4,541)
+#   compact  -> scan    (scan wins the device-rate streamed arm 2,706 vs
+#                        2,558 img/s, r4 re-measure — consistent with the
+#                        r3 standalone record; the 1-layer H=256 cell is
+#                        too small for kernel overhead — VERDICT r3 #4)
+#   enhanced -> pallas  (kernel wins: streamed 1,148 vs 1,085, standalone
+#                        664.7 vs 255.5 img/s, r4)
 # IC_DECODER_IMPL=scan|pallas overrides for A/B runs.
 _RECORDED_DECODER_IMPL = {"full": "pallas", "compact": "scan",
                           "enhanced": "pallas"}

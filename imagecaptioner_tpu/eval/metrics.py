@@ -37,6 +37,47 @@ def bleu_n(candidate: Sequence[str], reference: Sequence[str], n: int) -> float:
     return ngram_precision(candidate, reference, n)
 
 
+def adversarial_constant_bleu1(refs: Sequence[Sequence[str]],
+                               extra_candidates: Iterable[Sequence[str]] = (),
+                               max_len: int = 16) -> Dict:
+    """Best mean BLEU-1 any CONSTANT caption achieves against ``refs`` — the
+    grounding floor a trained model must beat (a benchmark a constant string
+    can game is not discriminative; VERDICT r3 #3).
+
+    Two candidate families (the single shared implementation — ADVICE r4 #4
+    replaced three drifting copies in run_all.py / check_constant_floor.py /
+    test_synthetic_grid.py):
+      * every observed reference caption (plus ``extra_candidates``, e.g. a
+        model's own outputs);
+      * a greedy adversarial constant built token-by-token (append whichever
+        vocab token raises the mean clipped precision most, up to
+        ``max_len`` tokens) — stronger than any observed caption under the
+        no-brevity-penalty reference BLEU.
+
+    Returns ``{"best_observed", "adversarial", "adversarial_tokens",
+    "floor"}`` where ``floor`` is the max of the two scores.
+    """
+    refs = [list(r) for r in refs]
+
+    def mean_b1(cand):
+        return sum(bleu_n(cand, r, 1) for r in refs) / len(refs)
+
+    candidates = ({tuple(r) for r in refs}
+                  | {tuple(c) for c in extra_candidates})
+    best_obs = max((mean_b1(list(c)) for c in candidates), default=0.0)
+    vocab = sorted({t for r in refs for t in r})
+    adv: List[str] = []
+    best_adv = 0.0
+    for _ in range(max_len):
+        sc, tok = max((mean_b1(adv + [t]), t) for t in vocab)
+        if sc <= best_adv:
+            break
+        best_adv, adv = sc, adv + [tok]
+    return {"best_observed": best_obs, "adversarial": best_adv,
+            "adversarial_tokens": adv,
+            "floor": max(best_obs, best_adv)}
+
+
 def meteor_f1(candidate: Sequence[str], reference: Sequence[str]) -> float:
     """Unigram-overlap F1 — the reference's 'simplified METEOR'
     (evaluate_student.py:53-69)."""

@@ -170,12 +170,19 @@ def main(argv=None):
                 [np.asarray(Image.open(f).convert("RGB").resize(
                     (cfg.image_size,) * 2, Image.BILINEAR), np.uint8)
                  for f in files[:n_cal]])))
-            cal_mem = TM.encode_image(fparams, cal_imgs, cfg)
-            toks = np.asarray(D.greedy_decode_teacher(
-                fparams, cal_mem, cfg, max_length=args.max_length))
-            cal_caps = np.concatenate(
-                [np.full((1, n_cal), _START, np.int32),
-                 toks.T.astype(np.int32)])
+            if args.int8_full:
+                cal_mem = TM.encode_image(fparams, cal_imgs, cfg)
+                toks = np.asarray(D.greedy_decode_teacher(
+                    fparams, cal_mem, cfg, max_length=args.max_length))
+                cal_caps = np.concatenate(
+                    [np.full((1, n_cal), _START, np.int32),
+                     toks.T.astype(np.int32)])
+            else:
+                # encoder-only int8: decoder tokens cannot reach any baked
+                # scale, so skip the float decode + its compile and
+                # calibrate the encoder under a placeholder caption batch
+                # (ADVICE r4 #2)
+                cal_caps = np.full((2, n_cal), _START, np.int32)
             margin = (args.int8_margin if args.int8_margin is not None
                       else (1.25 if args.int8_full else 1.0))
             params = calibrate_static(

@@ -30,6 +30,11 @@ def recorded_decoder_impl(variant: str) -> str:
     ('scan' on every other backend — the kernels are TPU Mosaic)."""
     import jax
 
+    if variant not in _RECORDED_DECODER_IMPL:
+        # same message/type on every backend — without this, a bad variant
+        # died with a raw KeyError on TPU but fell through to 'scan' on CPU
+        # (ADVICE r4 #1)
+        raise ValueError(f"unknown student_variant {variant!r}")
     env = os.environ.get("IC_DECODER_IMPL")
     if env in ("scan", "pallas"):
         return env

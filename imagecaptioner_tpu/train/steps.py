@@ -56,11 +56,16 @@ def _lr_tree(scale_tree, lr_fn):
 # ---------------------------------------------------------------------------
 
 
-def teacher_group_scales(params) -> Any:
-    """'encoder' in name -> 0.1 (incl. encoder_projection), else 1.0
-    (train_teacher.py:161-171)."""
+def teacher_group_scales(params, *, encoder_scale: float = 0.1) -> Any:
+    """'encoder' in name -> ``encoder_scale`` (incl. encoder_projection),
+    else 1.0 (train_teacher.py:161-171; reference value 0.1).
+
+    ``encoder_scale`` comes from ``TeacherTrainConfig.encoder_lr_scale`` —
+    before round 5 that config field was silently ignored (the 0.1 was
+    hard-coded here), so recipes that set it had no effect."""
     return {
-        k: jax.tree.map(lambda _: 0.1 if k.startswith("encoder") else 1.0, v)
+        k: jax.tree.map(
+            lambda _: encoder_scale if k.startswith("encoder") else 1.0, v)
         for k, v in params.items()
     }
 
@@ -68,9 +73,12 @@ def teacher_group_scales(params) -> Any:
 def make_teacher_opt(params, t_cfg: TeacherConfig,
                      tr_cfg: TeacherTrainConfig) -> O.FlatAdamW:
     """Fused optimizer with the teacher's param groups baked in."""
-    return O.FlatAdamW(params, lr_scale=teacher_group_scales(params),
-                       weight_decay=tr_cfg.weight_decay,
-                       trainable=TM.teacher_trainable_mask(params, t_cfg))
+    return O.FlatAdamW(
+        params,
+        lr_scale=teacher_group_scales(
+            params, encoder_scale=tr_cfg.encoder_lr_scale),
+        weight_decay=tr_cfg.weight_decay,
+        trainable=TM.teacher_trainable_mask(params, t_cfg))
 
 
 def make_teacher_train_step(
@@ -86,7 +94,8 @@ def make_teacher_train_step(
              rng: jax.Array) -> Tuple[TrainState, Dict]:
         params = state.params
         trainable = TM.teacher_trainable_mask(params, t_cfg)
-        scales = teacher_group_scales(params)
+        scales = teacher_group_scales(
+            params, encoder_scale=tr_cfg.encoder_lr_scale)
 
         def loss_fn(p, images_u8, captions, lengths, key):
             k_aug, k_model = jax.random.split(key)
@@ -180,15 +189,22 @@ def make_teacher_eval_step(t_cfg: TeacherConfig, tr_cfg: TeacherTrainConfig, *,
 # ---------------------------------------------------------------------------
 
 
-def kd_group_scales(params, *, others_scale: float = 1.0) -> Any:
-    """Student 'encoder' -> 0.1; decoder -> 1.0; others (refinement +
-    projectors) -> others_scale (train_student_kd.py:219-234)."""
+def kd_group_scales(params, *, encoder_scale: float = 0.1,
+                    others_scale: float = 1.0) -> Any:
+    """Student 'encoder' -> ``encoder_scale`` (reference 0.1); decoder ->
+    1.0; others (refinement + projectors) -> others_scale
+    (train_student_kd.py:219-234).
+
+    ``encoder_scale`` comes from ``KDTrainConfig.encoder_lr_scale`` — before
+    round 5 that config field was silently ignored (0.1 hard-coded here), so
+    the r4 "grounded" runs actually trained their encoder at lr x0.1 despite
+    recording encoder_lr_scale=1.0 (noted in docs/round5_notes.md)."""
     out = {}
     for k, v in params.items():
         if k == "student":
             out[k] = {
                 sk: jax.tree.map(
-                    lambda _: 0.1 if sk == "encoder"
+                    lambda _: encoder_scale if sk == "encoder"
                     else (1.0 if sk == "decoder" else others_scale), sv)
                 for sk, sv in v.items()
             }
@@ -220,7 +236,9 @@ def make_kd_opt(params, s_cfg: StudentConfig, tr_cfg, *,
                 others_scale: float = 1.0,
                 others_wd: Optional[float] = None) -> O.FlatAdamW:
     """Fused optimizer with the KD param groups baked in."""
-    scales = kd_group_scales(params, others_scale=others_scale)
+    scales = kd_group_scales(
+        params, encoder_scale=getattr(tr_cfg, "encoder_lr_scale", 0.1),
+        others_scale=others_scale)
     trainable = {
         "student": SM.student_trainable_mask(params["student"], s_cfg),
         "projectors": jax.tree.map(lambda _: True, params["projectors"]),
@@ -275,7 +293,9 @@ def make_kd_train_step(
             "student": SM.student_trainable_mask(params["student"], s_cfg),
             "projectors": jax.tree.map(lambda _: True, params["projectors"]),
         }
-        scales = kd_group_scales(params, others_scale=others_scale)
+        scales = kd_group_scales(
+            params, encoder_scale=getattr(tr_cfg, "encoder_lr_scale", 0.1),
+            others_scale=others_scale)
         wd_tree = jax.tree.map(lambda _: tr_cfg.weight_decay, params)
         if others_wd is not None:
             # optimized trainer: 'others' group gets its own weight decay

@@ -40,6 +40,7 @@ def train(
     num_epochs: Optional[int] = None,
     max_caption_len: int = 48,
     image_size: int = 224,
+    aug=None,
     compute_dtype=jnp.bfloat16,
     seed: int = 0,
     max_steps_per_epoch: Optional[int] = None,
@@ -95,8 +96,13 @@ def train(
         start_epoch = int(ck["epoch"]) + 1
         if verbose:
             print(f"Resumed from {resume_from} at epoch {start_epoch}")
+    # ``aug=None`` keeps the reference-style TEACHER_TRAIN_AUG; passing an
+    # AugmentConfig overrides it (e.g. the jitter-free grid recipe — a
+    # flagged deviation, see benchmarks/run_all.py config_5_converged)
+    step_kw = {} if aug is None else {"aug": aug}
     train_step = steps.make_teacher_train_step(t_cfg, tr,
-                                               compute_dtype=compute_dtype)
+                                               compute_dtype=compute_dtype,
+                                               **step_kw)
 
     # divisibility must be judged on the loader's EFFECTIVE batch
     # (get_loader silently caps at 16 and at dataset size)

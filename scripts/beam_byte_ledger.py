@@ -202,7 +202,10 @@ def main():
             prof = profiling.profile_device(loop_j, mk, runs=args.runs)
             meas_us = (prof["program_us_per_run"]
                        or sum(r["dur_us_per_run"] for r in prof["rows"]))
-            n_ops = sum(r.get("count_per_run", 0) for r in prof["rows"])
+            # count_per_run lives in the AGGREGATED views, not the raw rows
+            # (core/profiling.aggregate); summing it over rows recorded 0
+            # for every arm in the r4 ledger (VERDICT r4 weak #6)
+            n_ops = sum(c["count_per_run"] for c in prof["by_category"])
             rec = {
                 "images_per_call": N,
                 "bytes_per_step": led,

@@ -47,18 +47,12 @@ def main():
             for row in csv.DictReader(f):
                 refs.append(row["caption"].lower().split())
 
-    best_obs = max(mean_bleu1(r, refs) for r in refs)
+    from imagecaptioner_tpu.eval.metrics import adversarial_constant_bleu1
 
-    # greedy adversarial constant: append whichever vocab token raises the
-    # mean clipped precision most, for each candidate length
+    floor = adversarial_constant_bleu1(refs)  # shared impl (ADVICE r4 #4)
+    best_obs, best_adv = floor["best_observed"], floor["adversarial"]
+    cand = floor["adversarial_tokens"]
     vocab = sorted(collections.Counter(t for r in refs for t in r))
-    cand, best_adv = [], 0.0
-    for _ in range(16):
-        scored = max(((mean_bleu1(cand + [t], refs), t) for t in vocab))
-        if scored[0] <= best_adv:
-            break
-        best_adv = scored[0]
-        cand.append(scored[1])
 
     print(f"task={args.task} n={args.n}")
     print(f"  best observed-caption constant BLEU-1:    {best_obs:.4f}")

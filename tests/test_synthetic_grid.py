@@ -13,7 +13,7 @@ import os
 import pytest
 
 from imagecaptioner_tpu.data.synthetic import make_synthetic_dataset
-from imagecaptioner_tpu.eval.metrics import bleu_n
+from imagecaptioner_tpu.eval.metrics import adversarial_constant_bleu1
 
 
 @pytest.fixture(scope="module")
@@ -33,19 +33,10 @@ def test_grid_constant_floor_discriminative(grid_dataset):
     BLEU-1 0.35 on the grid task (the r3 bands task floor was 0.648)."""
     _, _, refs = grid_dataset
 
-    def mean_b1(cand):
-        return sum(bleu_n(cand, r, 1) for r in refs) / len(refs)
-
-    best_obs = max(mean_b1(r) for r in refs)
-    vocab = sorted({t for r in refs for t in r})
-    adv, best_adv = [], 0.0
-    for _ in range(12):
-        sc, tok = max((mean_b1(adv + [t]), t) for t in vocab)
-        if sc <= best_adv:
-            break
-        best_adv, adv = sc, adv + [tok]
-    assert best_obs <= 0.35, best_obs
-    assert best_adv <= 0.35, (best_adv, adv)
+    floor = adversarial_constant_bleu1(refs, max_len=12)
+    assert floor["best_observed"] <= 0.35, floor
+    assert floor["adversarial"] <= 0.35, floor
+    assert floor["floor"] == max(floor["best_observed"], floor["adversarial"])
 
 
 def test_grid_captions_deterministic_and_learnable(grid_dataset):

@@ -284,7 +284,12 @@ def config_3():
                             "streamed": ms}}
 
 
-def config_4():
+def config_4(enhanced_repeats: int = 0):
+    """``enhanced_repeats > 0``: skip everything except the enhanced
+    scan-vs-pallas STREAMED arms and run each that many times, recording the
+    spread next to the margin that decides the decoder default
+    (train/common.recorded_decoder_impl; VERDICT r4 weak #7 — the r4 gate
+    rested on a single 5.8%% margin on a rig with 2-6x wall variance)."""
     import numpy as np
 
     import jax
@@ -414,6 +419,28 @@ def config_4():
         return {"p50_latency_s": per, "steps_per_sec": 1.0 / per,
                 "images_per_sec": batch / per,
                 "k_steps_per_dispatch": k_steps, "batch": batch}
+
+    if enhanced_repeats:
+        import statistics
+
+        reps = {"pallas": [], "scan": []}
+        for i in range(enhanced_repeats):
+            for impl in ("pallas", "scan"):  # interleaved: drift hits both
+                r = run_impl_streamed(impl, variant="enhanced")
+                reps[impl].append(r["images_per_sec"])
+                print(f"enhanced {impl} rep {i}: "
+                      f"{r['images_per_sec']:,.0f} img/s")
+        rec = {"name": "enhanced_decoder_gate_repeats"}
+        for impl, xs in reps.items():
+            rec[impl + "_img_s"] = xs
+            rec[impl + "_mean"] = statistics.mean(xs)
+            rec[impl + "_spread_frac"] = ((max(xs) - min(xs))
+                                          / statistics.mean(xs))
+        rec["winner"] = ("pallas" if rec["pallas_mean"] > rec["scan_mean"]
+                         else "scan")
+        rec["margin_frac"] = abs(rec["pallas_mean"] - rec["scan_mean"]) / max(
+            rec["pallas_mean"], rec["scan_mean"])
+        return rec
 
     out = {"name": "joint_kd_train_step_b16_bf16",
            "physics_max_images_per_sec": timing.physics_max_rate(1.6e10)}
@@ -738,6 +765,10 @@ def main():
                          "bands = the r3 task, floor 0.648)")
     ap.add_argument("--no-reuse", action="store_true",
                     help="retrain even if checkpoints exist in --workdir")
+    ap.add_argument("--enhanced-repeats", type=int, default=0,
+                    help="run ONLY the enhanced decoder-gate streamed arms "
+                         "this many times each and record the spread under "
+                         "results['4']['enhanced_gate_repeats']")
     args = ap.parse_args()
 
     from imagecaptioner_tpu.core.runtime import enable_compile_cache
@@ -753,6 +784,11 @@ def main():
                 results = json.load(f)
         except (OSError, ValueError):
             results = {}
+    if args.enhanced_repeats:
+        rec = config_4(enhanced_repeats=args.enhanced_repeats)
+        results.setdefault("4", {})["enhanced_gate_repeats"] = rec
+        print(json.dumps(rec))
+        wanted = set()
     for i, fn in [(1, config_1), (2, config_2), (3, config_3),
                   (4, config_4)]:
         if i in wanted:

@@ -35,6 +35,17 @@ Params = Dict
 import os as _os
 
 _ANC_IMPL = _os.environ.get("IC_BEAM_ANC_IMPL", "joint")
+# optimization_barrier between the ancestry softmax and the context einsum
+# (identity op — bitwise-identical outputs, only the fusion boundary moves).
+# DEFAULT ON by measurement: without it XLA folds the softmax consumer
+# chain into one pathological ~10 GB/s output fusion after the ctx einsum
+# (minimal repro: benchmarks/anc_fusion_repro.json — barrier cuts the
+# 1-layer cached-attention step 39-44% at every N); on the full production
+# loop the barrier moves N=8 from 1.36x to 1.15x of its HBM byte bound
+# (1.551 vs 1.831 ms, benchmarks/beam_byte_ledger.json vs the r4
+# _prebarrier record) and N=16/32 from 2.4-3.3x to 2.1-2.6x.
+# IC_ANC_BARRIER=0 opts out (read at trace time).
+_ANC_BARRIER = _os.environ.get("IC_ANC_BARRIER", "1") == "1"
 
 
 def decoder_layer_init(key, d_model: int, dim_feedforward: int) -> Params:
@@ -283,6 +294,11 @@ def _attend_anc(q, k, v, anc_hot, num_heads: int, causal):
     logits = jnp.where(live, s_all, -jnp.inf)
     w = jax.nn.softmax(logits.reshape(N, num_heads, K, K * S), axis=-1)
     w = w.reshape(N, num_heads, K, K, S).astype(vh.dtype)
+    if _ANC_BARRIER:
+        # N>=16 cliff experiment (scripts/repro_anc_fusion.py): a fusion
+        # boundary here stops XLA folding the softmax consumer chain into
+        # the pathological output fusion that follows the ctx einsum
+        w, vh = jax.lax.optimization_barrier((w, vh))
     ctx = jnp.einsum("nhijs,njhsd->nihd", w, vh,
                      preferred_element_type=jnp.float32,
                      precision=prec).astype(vh.dtype)

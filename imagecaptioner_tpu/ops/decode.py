@@ -433,20 +433,44 @@ def beam_search_teacher_packed(
 
     memory (N, L, E) -> (seqs (N, K, S), scores (N, K), lens (N, K)).
     """
-    N = memory.shape[0]
-    K = beam_size
-    S = max_length + 1
-    V = cfg.vocab_size
-    layers = params["decoder"]
     # image n's beams live at packed rows n*K .. n*K+K-1.  Cross-attention
     # K/V are projected once per IMAGE and shared by its K beams as grouped
     # query rows (mem_group=K in the decode step) — duplicating them per
     # beam would 5x both the projection matmuls and, worse, the per-step
     # HBM re-read of the K/V (the decode loop's largest traffic term).
-    mem_kv = TD.precompute_memory_kv(layers, memory,
+    mem_kv = TD.precompute_memory_kv(params["decoder"], memory,
                                      num_heads=cfg.num_heads)
+    return beam_decode_packed_kv(
+        params, mem_kv, cfg, max_length=max_length, beam_size=beam_size,
+        length_penalty=length_penalty, early_exit=early_exit,
+        dtype=memory.dtype)
+
+
+def beam_decode_packed_kv(
+    params: Dict, mem_kv, cfg: TeacherConfig, *,
+    max_length: int = 20, beam_size: int = 5, length_penalty: float = 0.6,
+    early_exit: Optional[bool] = None, dtype=None,
+):
+    """Decode-only half of :func:`beam_search_teacher_packed`: consumes the
+    PRECOMPUTED head-major cross-attention K/V (``precompute_memory_kv``)
+    instead of encoder memory.
+
+    This split exists so serving can decouple the encode batch from the
+    decode pack width (:func:`beam_search_teacher_pipelined`): the ViT
+    encoder and the memory-K/V projections are compute-bound and want the
+    largest batch, while the decode loop is HBM-byte-bound and hits an XLA
+    fusion pathology past N=8 packs (benchmarks/beam_byte_ledger.json
+    float_N16/N32), so each side runs at its own best width.
+    """
+    N = mem_kv[0]["k"].shape[0]
+    if dtype is None:
+        dtype = mem_kv[0]["k"].dtype
+    K = beam_size
+    S = max_length + 1
+    V = cfg.vocab_size
+    layers = params["decoder"]
     self_kv = TD.init_kv_cache(len(layers), N * K, S, cfg.embed_size,
-                               memory.dtype, num_heads=cfg.num_heads)
+                               dtype, num_heads=cfg.num_heads)
 
     def lp(length):  # GNMT penalty, teacher_model.py:202
         if length_penalty > 0:
@@ -473,7 +497,7 @@ def beam_search_teacher_packed(
 
     def step(state, t):
         tok = state["seqs"][:, :, t].reshape(N * K)
-        x = _teacher_embed_step(params, tok, t, cfg).astype(memory.dtype)
+        x = _teacher_embed_step(params, tok, t, cfg).astype(dtype)
         anc = state["anc"].at[:, :, t].set(jnp.arange(K, dtype=jnp.int32)[None, :])
         y, self_kv = TD.decoder_step_cached(
             layers, x, t, state["self_kv"], mem_kv, num_heads=cfg.num_heads,
@@ -523,6 +547,55 @@ def beam_search_teacher_packed(
     return (jnp.take_along_axis(fin_seqs, order[:, :, None], axis=1),
             jnp.take_along_axis(fin_scores, order, axis=1),
             jnp.take_along_axis(fin_lens, order, axis=1))
+
+
+def beam_search_teacher_pipelined(
+    params: Dict, memory: jnp.ndarray, cfg: TeacherConfig, *,
+    pack: int = 8, max_length: int = 20, beam_size: int = 5,
+    length_penalty: float = 0.6, early_exit: Optional[bool] = None,
+):
+    """Two-stage packed beam serving: memory-K/V projection at the FULL
+    batch, decode in packs of ``pack`` images.
+
+    The coupled packed beam at N=8 splits ~40% ViT encode / 60% decode loop
+    (benchmarks/serving_hlo_profile.json) because encode and decode share
+    one program at the pack width — the compute-bound encoder runs at a
+    tiny batch.  Here the caller encodes at the full batch B (where the
+    ViT + cross-K/V projection matmuls are MXU-shaped) and the byte-bound
+    decode loop runs `lax.map`-chained at its measured best width N=8,
+    past which one pathological XLA output fusion costs 2.4-3.3x the byte
+    bound (benchmarks/beam_byte_ledger.json float_N16/N32; VERDICT r4 #3).
+
+    Token-identical per image to :func:`beam_search_teacher_packed` at any
+    pack width — the decode core is the same function, and images never
+    interact (tests/test_beam_batched.py).
+
+    memory (B, L, E) with B % pack == 0 ->
+    (seqs (B, K, S), scores (B, K), lens (B, K)).
+    """
+    B = memory.shape[0]
+    if B % pack:
+        raise ValueError(f"batch {B} not divisible by pack width {pack}")
+    G = B // pack
+    if G == 1:
+        return beam_search_teacher_packed(
+            params, memory, cfg, max_length=max_length, beam_size=beam_size,
+            length_penalty=length_penalty, early_exit=early_exit)
+    mem_kv = TD.precompute_memory_kv(params["decoder"], memory,
+                                     num_heads=cfg.num_heads)
+    packed_kv = jax.tree.map(
+        lambda t: t.reshape((G, pack) + t.shape[1:]), mem_kv)
+
+    def one_pack(kv):
+        return beam_decode_packed_kv(
+            params, kv, cfg, max_length=max_length, beam_size=beam_size,
+            length_penalty=length_penalty, early_exit=early_exit,
+            dtype=memory.dtype)
+
+    seqs, scores, lens = jax.lax.map(one_pack, packed_kv)
+    S = max_length + 1
+    return (seqs.reshape(B, beam_size, S), scores.reshape(B, beam_size),
+            lens.reshape(B, beam_size))
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "max_length", "beam_size",

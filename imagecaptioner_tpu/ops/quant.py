@@ -49,7 +49,7 @@ the KV caches stay float.
 
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -181,7 +181,8 @@ def calibrate_activation_scales(qtree, run, *, margin: float = 1.0):
 
 
 def quantize_params_int8(tree, *, min_elements: Optional[int] = None,
-                         mha: bool = False):
+                         mha: bool = False,
+                         exclude: Tuple[str, ...] = ()):
     """Rewrite every conv/dense ``{"weight": ...}`` dict in ``tree`` to its
     int8 form ``{"weight_q", "w_scale", [bias]}``.  Returns a new tree; the
     input is not mutated.  Dicts whose weight is too small pass through
@@ -196,11 +197,18 @@ def quantize_params_int8(tree, *, min_elements: Optional[int] = None,
     matrices to ``in_proj_weight_q`` + ``in_proj_scale`` (the (3E,) scale
     vector splits into q/k/v thirds exactly like the weight rows);
     consumers dispatch on the ``in_proj_weight_q`` key.
+
+    ``exclude``: dict keys whose subtrees stay FLOAT (e.g. ``("conv1",)``
+    keeps a ResNet stem unquantized — the layer-exclusion arms of the
+    static-int8 quality sweep, scripts/bench_int8_quality.py --exclude).
     """
     thr = MIN_QUANT_ELEMENTS if min_elements is None else min_elements
 
     def rewrite(p):
         if isinstance(p, dict):
+            if exclude and any(k in exclude for k in p):
+                return {k: (v if k in exclude else rewrite(v))
+                        for k, v in p.items()}
             if (mha and "in_proj_weight" in p
                     and hasattr(p["in_proj_weight"], "ndim")
                     and p["in_proj_weight"].size >= thr):
@@ -246,11 +254,14 @@ def count_quantized(tree) -> int:
     return n
 
 
-def quantize_student_encoder_int8(params):
+def quantize_student_encoder_int8(params, *, exclude: Tuple[str, ...] = ()):
     """Serving copy of a student param tree with the CNN ENCODER quantized
     (the conv stack is ~90% of serving device time); the refinement MHA,
-    decoder, and projectors stay float."""
-    return dict(params, encoder=quantize_params_int8(params["encoder"]))
+    decoder, and projectors stay float.  ``exclude`` names encoder subtrees
+    kept float (see quantize_params_int8)."""
+    return dict(params,
+                encoder=quantize_params_int8(params["encoder"],
+                                             exclude=exclude))
 
 
 def quantize_teacher_encoder_int8(params):

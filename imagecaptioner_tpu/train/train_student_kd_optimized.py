@@ -57,6 +57,7 @@ def train_student_with_kd_optimized(
     stream_steps: int = 8,
     student_variant: str = "compact",
     student_cfg_overrides: Optional[dict] = None,
+    aug=None,
     verbose: bool = True,
 ):
     tr = train_cfg or OptimizedKDTrainConfig()
@@ -66,8 +67,11 @@ def train_student_with_kd_optimized(
     captions_file = captions_file or os.path.join(data_root, "captions_clean.csv")
 
     # Larger host images; on-device RandomCrop to image_size (reference
-    # Resize(256)+RandomCrop(224), :245-253)
-    host_size = image_size + 32
+    # Resize(256)+RandomCrop(224), :245-253).  A custom ``aug`` without
+    # random_crop loads at image_size directly (the model's PEs are sized
+    # for image_size — an uncropped 256 input would not fit them).
+    host_size = (image_size + 32 if aug is None or aug.random_crop
+                 else image_size)
     common.distributed_init_from_env()
     train_loader, dataset = get_loader(
         data_root, captions_file, batch_size=tr.batch_size,
@@ -126,7 +130,8 @@ def train_student_with_kd_optimized(
                          accumulation_steps=tr.accumulation_steps,
                          num_epochs=tr.num_epochs,
                          weight_decay=tr.weight_decay,
-                         grad_clip=tr.grad_clip)
+                         grad_clip=tr.grad_clip,
+                         encoder_lr_scale=tr.encoder_lr_scale)
     state = steps.TrainState(params, O.adamw_init(params), s_state)
     start_epoch = 0
     if resume_from is not None:
@@ -150,10 +155,15 @@ def train_student_with_kd_optimized(
             print(f"Resumed from {resume_from} at epoch {start_epoch}")
     else:
         global_step_init = 0
-    aug = T.AugmentConfig(
-        brightness=0.2, contrast=0.2, saturation=0.2, hue=0.1,
-        hflip_prob=0.5, rotation_deg=5.0, random_crop=True,
-        out_size=image_size)
+    # aug=None keeps the reference's heavy OPTIMIZED_KD_AUG; an explicit
+    # AugmentConfig overrides it (flagged-deviation recipes — color jitter
+    # mode-collapses color-naming tasks, docs/demo_run.md).  NOTE the
+    # random_crop pipeline expects host images at image_size+32.
+    if aug is None:
+        aug = T.AugmentConfig(
+            brightness=0.2, contrast=0.2, saturation=0.2, hue=0.1,
+            hflip_prob=0.5, rotation_deg=5.0, random_crop=True,
+            out_size=image_size)
     train_step = steps.make_kd_train_step(
         t_cfg, s_cfg, None, shim, aug=aug,
         compute_dtype=compute_dtype, optimized=True, od_cfg=od_cfg,

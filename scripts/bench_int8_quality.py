@@ -44,6 +44,13 @@ def main():
                          "mode (ops/quant.py, greedy_int8_static) needs")
     ap.add_argument("--calib-n", type=int, default=8)
     ap.add_argument("--margin", type=float, default=1.25)
+    ap.add_argument("--sweep", action="store_true",
+                    help="STUDENT static arm only: sweep margin x calib_n "
+                         "plus layer-exclusion arms (stem / projection kept "
+                         "float) on the converged checkpoint — the "
+                         "attack-or-bound record for the static-int8 "
+                         "student quality cost (VERDICT r4 #5); records "
+                         "under 'student_static_sweep'")
     ap.add_argument("--out", default=os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "benchmarks", "int8_quality.json"))
@@ -110,14 +117,15 @@ def main():
             max(bleu_n(c.split(), r.split(), 1) for r in refs[n])
             for c, n in zip(caps, names)]))
 
-    def calibrate(pq, run_fwd):
-        """Static activation scales on the first --calib-n eval images,
+    def calibrate(pq, run_fwd, *, margin=None, calib_n=None):
+        """Static activation scales on the first ``calib_n`` eval images,
         eagerly on the CPU backend (calibrate_activation_scales)."""
         host = jax.device_get(pq)
-        cal_imgs = np.asarray(images[:args.calib_n], np.float32)
+        cal_imgs = np.asarray(images[:calib_n or args.calib_n], np.float32)
         with jax.default_device(jax.devices("cpu")[0]):
             host = Q.calibrate_activation_scales(
-                host, lambda q: run_fwd(q, cal_imgs), margin=args.margin)
+                host, lambda q: run_fwd(q, cal_imgs),
+                margin=margin or args.margin)
         return jax.tree.map(jnp.asarray, host)
 
     # representative decoder tokens: the model's own greedy captions for the
@@ -152,8 +160,18 @@ def main():
         ("student_greedy", student_caps, sp,
          Q.quantize_student_encoder_int8(sp), student_cal_fwd),
     ]
+    if args.sweep:
+        # sweep re-measures only the student path; the teacher base arms are
+        # already recorded (benchmarks/int8_quality_grid.json)
+        arms = [a for a in arms if a[0] == "student_greedy"]
     res = {"workdir": args.workdir, "recipe": args.recipe,
            "n_images": len(names)}
+    if os.path.exists(args.out):  # merge: keep arms a partial re-run skips
+        try:
+            with open(args.out) as f:
+                res = {**json.load(f), **res}
+        except (OSError, ValueError):
+            pass
     if args.static:
         res["static_calibration"] = {"calib_n": args.calib_n,
                                      "margin": args.margin}
@@ -174,6 +192,46 @@ def main():
                 "bleu1_f32": bleu(c_f), "bleu1_int8_static": bleu(c_s),
             }
             print(tag + "_static", res[tag + "_static"])
+    if args.sweep:
+        # -- student static-quality sweep (VERDICT r4 #5) ------------------
+        import copy
+
+        c_f = student_caps(sp)
+        b_f = bleu(c_f)
+        sweep = {"bleu1_f32": b_f, "arms": {}}
+
+        def record(tag, pq_cal):
+            c_s = student_caps(pq_cal)
+            sweep["arms"][tag] = {
+                "bleu1_int8_static": bleu(c_s),
+                "delta_vs_f32": bleu(c_s) - b_f,
+                "identical_captions": sum(a == b for a, b in zip(c_f, c_s)),
+            }
+            print("sweep", tag, sweep["arms"][tag])
+
+        base_q = Q.quantize_student_encoder_int8(sp)
+        for margin in (1.0, 1.25, 1.5, 2.0):
+            for calib_n in (8, 32):
+                if calib_n > len(names):
+                    continue
+                record(f"margin{margin}_cal{calib_n}",
+                       calibrate(base_q, student_cal_fwd, margin=margin,
+                                 calib_n=calib_n))
+        # layer-exclusion arms at the default margin/calib_n: stem conv and
+        # final projection are the int8-noise-sensitive endpoints
+        stem_f = copy.copy(base_q)
+        stem_f = dict(stem_f, encoder=dict(
+            base_q["encoder"],
+            resnet=dict(base_q["encoder"]["resnet"],
+                        conv1=sp["encoder"]["resnet"]["conv1"])))
+        record("exclude_stem_margin1.25_cal8",
+               calibrate(stem_f, student_cal_fwd, margin=1.25, calib_n=8))
+        proj_f = dict(base_q, encoder=dict(
+            base_q["encoder"], projection=sp["encoder"]["projection"]))
+        record("exclude_projection_margin1.25_cal8",
+               calibrate(proj_f, student_cal_fwd, margin=1.25, calib_n=8))
+        res["student_static_sweep"] = sweep
+
     with open(args.out, "w") as f:
         json.dump(res, f, indent=1)
     print(f"wrote {args.out}")

@@ -42,6 +42,13 @@ def main():
                          "record under 'beam_int8_full'")
     ap.add_argument("--batch", type=int, default=32, help="greedy batch")
     ap.add_argument("--beam-n", type=int, default=8, help="beam images/call")
+    ap.add_argument("--pipelined", action="store_true",
+                    help="beam only: also profile the two-stage pipelined "
+                         "beam (encode at --beam-batch, decode in packs of "
+                         "--beam-n; decode.beam_search_teacher_pipelined) "
+                         "under 'beam_pipelined*'")
+    ap.add_argument("--beam-batch", type=int, default=32,
+                    help="pipelined beam encode batch")
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--top", type=int, default=20)
     ap.add_argument("--out", default=os.path.join(
@@ -186,6 +193,35 @@ def main():
             "by_category": prof["by_category"],
             "by_source": prof["by_source"][:args.top],
         }
+
+        if args.pipelined:
+            BB = args.beam_batch
+
+            @jax.jit
+            def beam_pipe(imgs):
+                memory = TM.encode_image(params, imgs, cfg)
+                return D.beam_search_teacher_pipelined(
+                    params, memory, cfg, pack=N, max_length=MAX_LEN,
+                    beam_size=5)[0]
+
+            def mkb(i):
+                return jax.random.normal(jax.random.PRNGKey(7000 + i),
+                                         (BB, 3, 224, 224), jnp.bfloat16)
+
+            prof = profiling.profile_device(beam_pipe, mkb, runs=args.runs)
+            tot = (prof["program_us_per_run"]
+                   or sum(r["dur_us"] for r in prof["rows"]) / args.runs)
+            print(f"\npipelined beam B={BB} pack={N}: {tot/1e3:.3f} ms/call "
+                  f"device = {BB/(tot/1e6):,.0f} img/s device-rate")
+            print(profiling.top_table(prof["by_category"], "category", 12,
+                                      tot))
+            out["beam_pipelined" + beam_suffix] = {
+                "images_per_call": BB, "pack": N,
+                "device_ms_per_call": tot / 1e3,
+                "device_images_per_sec": BB / (tot / 1e6),
+                "by_category": prof["by_category"],
+                "by_source": prof["by_source"][:args.top],
+            }
 
     with open(args.out, "w") as f:
         json.dump(out, f, indent=2)

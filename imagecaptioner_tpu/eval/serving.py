@@ -33,6 +33,7 @@ from imagecaptioner_tpu.ops import decode as D
 def make_dp_beam_captioner(
     params: Dict, cfg: TeacherConfig, mesh, *, max_length: int = 20,
     beam_size: int = 5, length_penalty: float = 0.6,
+    pipelined_pack: int = 0,
 ) -> Callable[[jnp.ndarray], Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]]:
     """Teacher beam-search serving over a mesh.
 
@@ -41,6 +42,11 @@ def make_dp_beam_captioner(
     (ViT encode, packed K-beams-in-batch decode).  ``N`` must be divisible
     by the mesh's data-axis size.  Token-identical to the single-device
     packed search (tests/test_sharding.py::test_dp_beam_serving_matches_single).
+
+    ``pipelined_pack > 0``: two-stage serving (encode + memory-K/V at the
+    full per-device batch, decode lax.map-chained in packs of that many
+    images per device — decode.beam_search_teacher_pipelined); the global
+    batch must then be divisible by n_data * pipelined_pack.
     """
     params = jax.device_put(params, MX.replicated(mesh))
 
@@ -52,24 +58,49 @@ def make_dp_beam_captioner(
     )
     def fn(images):
         memory = TM.encode_image(params, images, cfg)
+        if pipelined_pack:
+            # decode must run PER SHARD: the pipelined path lax.maps over
+            # packs, and GSPMD cannot split a scan's leading axis across
+            # devices (it would gather per iteration); shard_map gives each
+            # device its own shorter pack chain over its local batch
+            # (same full-manual construction as pallas_attention's DP path)
+            from jax.sharding import PartitionSpec as P
+
+            spec = P(MX.DATA_AXIS)
+
+            def local_decode(mem_local):
+                return D.beam_search_teacher_pipelined(
+                    params, mem_local, cfg, pack=pipelined_pack,
+                    max_length=max_length, beam_size=beam_size,
+                    length_penalty=length_penalty)
+
+            return jax.shard_map(
+                local_decode, mesh=mesh, in_specs=(spec,),
+                out_specs=(spec, spec, spec), check_vma=False)(memory)
         return D.beam_search_teacher_packed(
             params, memory, cfg, max_length=max_length, beam_size=beam_size,
             length_penalty=length_penalty)
 
-    return _guard_batch(fn, mesh)
+    return _guard_batch(fn, mesh, per_shard_multiple=pipelined_pack or 1)
 
 
-def _guard_batch(fn, mesh):
+def _guard_batch(fn, mesh, per_shard_multiple: int = 1):
     """Raise a readable error for batch sizes the mesh can't split evenly
-    (GSPMD's own failure is an opaque sharding error)."""
+    (GSPMD's own failure is an opaque sharding error).
+    ``per_shard_multiple``: each shard's local batch must additionally be a
+    multiple of this (the pipelined beam's pack width)."""
     n_data = mesh.shape[MX.DATA_AXIS]
+    need = n_data * per_shard_multiple
 
     @functools.wraps(fn)
     def call(images):
-        if images.shape[0] % n_data:
+        if images.shape[0] % need:
             raise ValueError(
                 f"batch {images.shape[0]} not divisible by the mesh's "
-                f"data axis ({n_data}); pad the trailing batch to a multiple")
+                f"data axis ({n_data})"
+                + (f" x pack {per_shard_multiple}"
+                   if per_shard_multiple > 1 else "")
+                + "; pad the trailing batch to a multiple")
         return fn(images)
 
     return call

@@ -275,6 +275,37 @@ def test_dp_beam_serving_matches_single():
     np.testing.assert_array_equal(np.asarray(lens_dp), np.asarray(lens))
 
 
+def test_dp_pipelined_beam_serving_matches_single():
+    """DP pipelined beam serving (shard_map per-device decode packs,
+    eval/serving.make_dp_beam_captioner(pipelined_pack=...)) is
+    token-identical to the single-device packed search."""
+    from imagecaptioner_tpu.eval import serving as SV
+    from imagecaptioner_tpu.ops import decode as D
+
+    img = 32
+    cfg = TeacherConfig(vocab_size=40, embed_size=32, num_heads=4,
+                        num_decoder_layers=2, dropout=0.0, encoder_dim=24,
+                        encoder_depth=1, encoder_heads=3, image_size=img,
+                        patch_size=16)
+    p = TM.teacher_init(jax.random.PRNGKey(0), cfg)
+    images = jax.random.normal(jax.random.PRNGKey(1), (32, 3, img, img))
+
+    mesh = MS.create_mesh(shape=(8, 1))  # 4 images/shard = 2 packs of 2
+    fn = SV.make_dp_beam_captioner(p, cfg, mesh, max_length=8, beam_size=3,
+                                   pipelined_pack=2)
+    seqs_dp, scores_dp, lens_dp = jax.device_get(fn(images))
+
+    memory = TM.encode_image(p, images, cfg)
+    seqs, scores, lens = jax.device_get(D.beam_search_teacher_packed(
+        p, memory, cfg, max_length=8, beam_size=3))
+    np.testing.assert_array_equal(np.asarray(seqs_dp), np.asarray(seqs))
+    np.testing.assert_allclose(np.asarray(scores_dp), np.asarray(scores),
+                               atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(lens_dp), np.asarray(lens))
+    with pytest.raises(ValueError, match="pack"):
+        fn(images[:24])  # 24 % (8*2) != 0
+
+
 def test_dp_greedy_serving_matches_single():
     from imagecaptioner_tpu.eval import serving as SV
     from imagecaptioner_tpu.ops import decode as D

@@ -823,6 +823,15 @@ def main():
             key = "5"
             results[key] = config_5(args.epochs)
         print(json.dumps(results[key]))
+    # re-merge the file just before writing: concurrent arm runs (two
+    # trainings sharing one workdir) otherwise lose each other's records
+    # (classic lost update — bit the r5 compact arm)
+    if os.path.exists(args.output):
+        try:
+            with open(args.output) as f:
+                results = {**json.load(f), **results}
+        except (OSError, ValueError):
+            pass
     results["_note"] = (
         "Measured through a shared TPU relay; run-to-run variance is 2-6x "
         "with relay load. Methodology: distinct inputs per call, device_get "

@@ -547,7 +547,10 @@ def config_5_converged(workdir: str, *, epochs_teacher: int = 12,
     completed run can be re-reported without re-training (recorded in the
     output as ``teacher_reused``/``kd_reused`` with null train times).
     ``resume_kd=True`` instead CONTINUES KD from the final student
-    checkpoint up to ``epochs_kd`` total epochs.
+    checkpoint up to ``epochs_kd`` total epochs.  NOTE: the trainer
+    rewrites ``student_training_history.json`` per segment, so a resumed
+    record's ``kd_epochs_to_val_bleu`` / ``val_bleu_curve_tail`` count
+    epochs WITHIN the resumed segment (offset by the previous budget).
     """
     import numpy as np
 
